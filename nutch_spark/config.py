@@ -1,0 +1,98 @@
+"""Crawl configuration.
+
+Default values mirror the reference's ``conf/nutch-default.xml`` so the
+operator semantics line up without per-test tuning. Each field cites the
+reference property it reproduces.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+SECONDS_PER_DAY = 60 * 60 * 24
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- injector (Injector.java:95-268) ---
+    db_fetch_interval_default: int = 2592000  # db.fetch.interval.default (30 d)
+    db_fetch_interval_max: int = 7776000      # db.fetch.interval.max (90 d)
+    db_score_injected: float = 1.0            # db.score.injected
+    db_injector_overwrite: bool = False       # db.injector.overwrite
+    db_injector_update: bool = False          # db.injector.update
+
+    # --- generator (Generator.java:134-162) ---
+    generate_top_n: int = -1                  # -topN; -1 = unlimited
+    generate_max_count: int = -1              # generate.max.count
+    generate_count_mode: str = "host"         # generate.count.mode: host|domain
+    generate_min_score: float | None = None   # generate.min.score
+    generate_min_interval: int = -1           # generate.min.interval
+    generate_restrict_status: str | None = None
+    generate_filter: bool = True              # apply URLFilters in generate
+    generate_normalise: bool = True
+    crawl_gen_delay_ms: int = 7 * SECONDS_PER_DAY * 1000  # crawl.gen.delay
+    generate_max_num_segments: int = 1
+    generate_update_crawldb: bool = False     # stamp _ngt_ back into crawldb
+
+    # --- fetcher (Fetcher.java / FetchItemQueue.java / nutch-default.xml) ---
+    fetcher_server_delay_ms: int = 5000       # fetcher.server.delay (5.0 s)
+    fetcher_max_crawl_delay_ms: int = 30000   # fetcher.max.crawl.delay (30 s)
+    fetcher_timelimit_ms: int = -1            # fetcher.timelimit.mins (off)
+    fetcher_queue_mode: str = "byHost"        # byHost | byDomain
+    http_redirect_max: int = 0                # http.redirect.max
+    http_robots_403_allow: bool = True        # http.robots.403.allow
+    http_agent_name: str = "nutch-spark"      # http.agent.name
+    ignore_external_links: bool = False       # db.ignore.external.links
+
+    # --- updatedb (CrawlDbReducer.java:51-58) ---
+    db_fetch_retry_max: int = 3               # db.fetch.retry.max
+    db_update_max_inlinks: int = 10000        # db.update.max.inlinks
+    db_update_additions_allowed: bool = True  # db.update.additions.allowed
+    db_update_purge_404: bool = False         # db.update.purge.404
+    fetch_schedule: str = "default"           # default | adaptive
+
+    # --- adaptive schedule (AdaptiveFetchSchedule.java:81-93) ---
+    adaptive_inc_rate: float = 0.2
+    adaptive_dec_rate: float = 0.2
+    adaptive_min_interval: float = 60.0
+    adaptive_max_interval: float = float(SECONDS_PER_DAY) * 365
+    adaptive_sync_delta: bool = True
+    adaptive_sync_delta_rate: float = 0.2
+
+    # --- parse (ParseOutputFormat.java / nutch-default.xml:619) ---
+    db_max_outlinks_per_page: int = 100
+    db_max_anchor_length: int = 100           # db.max.anchor.length
+    db_max_inlinks: int = 10000               # db.max.inlinks (linkdb cap)
+    db_ignore_internal_links: bool = True     # linkdb default
+    db_score_link_internal: float = 1.0       # db.score.link.internal
+    db_score_link_external: float = 1.0       # db.score.link.external
+    db_parsemeta_to_crawldb: tuple[str, ...] = ()
+
+    # --- signatures (TextProfileSignature.java:72-75) ---
+    signature_kind: str = "md5"               # md5 | text_md5 | text_profile
+    text_profile_min_token_len: int = 2
+    text_profile_quant_rate: float = 0.01
+
+    # --- partitioning / scale knobs (ours) ---
+    num_fetch_partitions: int = 32            # politeness units per round
+    shuffle_partitions: int = 32
+    partition_seed: int = 0                   # salt for host partitioning
+
+    # --- url filter rules: (sign, regex) first-match-wins;
+    # defaults mirror conf/regex-urlfilter.txt.template:25-37 ---
+    url_filter_rules: tuple[tuple[str, str], ...] = (
+        ("-", r"^(file|ftp|mailto):"),
+        ("-", r"\.(gif|GIF|jpg|JPG|png|PNG|ico|ICO|css|CSS|sit|SIT|eps|EPS"
+              r"|wmf|WMF|zip|ZIP|ppt|PPT|mpg|MPG|xls|XLS|gz|GZ|rpm|RPM|tgz"
+              r"|TGZ|mov|MOV|exe|EXE|jpeg|JPEG|bmp|BMP|js|JS)$"),
+        ("-", r"[?*!@=]"),
+        ("-", r".*(/[^/]+)/[^/]+\1/[^/]+\1/"),
+        ("+", r"."),
+    )
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT = CrawlConfig()

@@ -1,0 +1,35 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 32)
+    b = (SparkSession.builder
+         .appName(app_name)
+         .master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+         .config("spark.ui.enabled", "false")
+         # politeness partitions must not be coalesced mid-fetch; the
+         # fetch stage repartitions explicitly and AQE keeps our
+         # partition count because we use repartition(N, col)
+         .config("spark.speculation", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
