@@ -1,0 +1,145 @@
+"""Generator: select the per-round fetchlist from the frontier.
+
+Reference: Generator.java — Selector.map due-filter (lines 168-232),
+host/domain partitioning (235-239, URLPartitioner.java:66-94), topN +
+per-host cap reduce (242-335), HashComparator fetchlist ordering
+(386-416), optional ``_ngt_`` write-back (421-463).
+
+Spark shape (one job, no MR round boundaries):
+  due-filter (pure column predicates)
+  → per-host cap: row_number() over (host, score desc)      [shuffle 1]
+  → global topN: orderBy(score desc).limit(n)               [TakeOrdered]
+  → salted host repartition + sortWithinPartitions(urlhash) [shuffle 2]
+
+Scale notes: the due-filter is pushed to the scan (status/fetch_time
+are plain columns); the host-cap window and the politeness
+repartition both key on host, and AQE handles skewed hosts in the
+window shuffle while the generate.max.count cap bounds any single
+host's contribution before the fetch partitioning — the reference's
+own hot-host defense (Generator.java:282-327).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import CrawlConfig
+from ..functions.filters import filter_accepts_col
+from ..functions.urls import spark_udfs, with_host
+from ..schema import META_GENERATE_TIME
+from . import schedules
+
+
+def generate(crawldb: DataFrame, cfg: CrawlConfig,
+             cur_time_ms: int | None = None,
+             gen_time_ms: int | None = None) -> DataFrame:
+    """Produce the fetchlist (FETCHLIST schema: CRAWLDB + segnum +
+    fetch_partition), ordered for polite fetching."""
+    if cur_time_ms is None:
+        cur_time_ms = int(time.time() * 1000)
+    if gen_time_ms is None:
+        gen_time_ms = cur_time_ms
+    udfs = spark_udfs()
+
+    df = crawldb
+    # URLFilters (Generator.java:172-184)
+    if cfg.generate_filter:
+        df = filter_accepts_col(df, cfg.url_filter_rules, "url") \
+            .where(F.col("accepted")).drop("accepted")
+
+    # schedule.shouldFetch with over-max clamp (Generator.java:188-192)
+    sf = schedules.should_fetch(cfg, cur_time_ms,
+                                fetch_time=F.col("fetch_time"),
+                                fetch_interval=F.col("fetch_interval"))
+    df = (df.withColumn("_eligible", sf["eligible"])
+            .withColumn("fetch_time", sf["fetch_time"])
+            .withColumn("fetch_interval", sf["fetch_interval"])
+            .where(F.col("_eligible")).drop("_eligible"))
+
+    # _ngt_ in-flight guard (Generator.java:194-200)
+    ngt = F.element_at(F.coalesce(F.col("metadata"), F.create_map()),
+                       META_GENERATE_TIME).cast("long")
+    df = df.where(ngt.isNull() | (ngt + cfg.crawl_gen_delay_ms <= cur_time_ms))
+
+    # OPIC generatorSortValue = score * 1.0 (OPICScoringFilter.java:89-92)
+    df = df.withColumn("_sort", F.col("score"))
+
+    # gates (Generator.java:210-223)
+    if cfg.generate_restrict_status:
+        df = df.where(F.col("status") == cfg.generate_restrict_status)
+    if cfg.generate_min_score is not None:
+        df = df.where(F.col("_sort") >= cfg.generate_min_score)
+    if cfg.generate_min_interval != -1:
+        df = df.where(F.col("fetch_interval") <= cfg.generate_min_interval)
+
+    # host or registered domain for the cap (Generator.java:262-282)
+    if cfg.generate_count_mode == "domain":
+        df = df.withColumn("_hostordomain", udfs["domain"](F.col("url")))
+    else:
+        df = with_host(df, "url", "_hostordomain")
+    df = df.where(F.col("_hostordomain").isNotNull()
+                  & (F.col("_hostordomain") != ""))
+
+    # per-host/domain cap, score-descending, url-asc tiebreak.
+    # The reference increments the counter before testing >= maxCount
+    # (Generator.java:293-304), admitting maxCount-1 per host — kept
+    # bug-compatible (FIXTURES.md F5 G2).
+    if cfg.generate_max_count > 0:
+        w = Window.partitionBy("_hostordomain") \
+            .orderBy(F.desc("_sort"), F.asc("url"))
+        df = (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") < cfg.generate_max_count)
+                .drop("_rn"))
+
+    # global topN (Generator.java:248-255); TakeOrderedAndProject keeps
+    # this distributed (per-partition heap + merge), no global sort
+    if cfg.generate_top_n and cfg.generate_top_n > 0:
+        df = df.orderBy(F.desc("_sort"), F.asc("url")) \
+            .limit(cfg.generate_top_n)
+
+    # stamp _ngt_ into the fetchlist rows (Generator.java:228)
+    df = df.withColumn(
+        "metadata",
+        F.map_concat(
+            F.map_filter(F.coalesce(F.col("metadata"), F.create_map()),
+                         lambda k, v: k != META_GENERATE_TIME),
+            F.create_map(F.lit(META_GENERATE_TIME),
+                         F.lit(str(gen_time_ms)))))
+
+    # salted host partitioning (URLPartitioner.java:66-94 with the
+    # per-run seed XOR at Generator.java:662) + HashComparator order
+    # within each partition (Generator.java:386-416)
+    n = cfg.num_fetch_partitions
+    df = (df
+          .withColumn("segnum", F.lit(1).cast("int"))
+          .withColumn(
+              "fetch_partition",
+              F.pmod(F.xxhash64(F.col("_hostordomain"),
+                                F.lit(cfg.partition_seed)), n).cast("int"))
+          .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
+          .repartition(n, F.col("fetch_partition"))
+          .sortWithinPartitions("_urlhash")
+          .drop("_sort", "_hostordomain", "_urlhash"))
+    return df
+
+
+def update_generated(crawldb: DataFrame, fetchlist: DataFrame,
+                     cfg: CrawlConfig, gen_time_ms: int) -> DataFrame:
+    """generate.update.crawldb: stamp ``_ngt_`` on generated URLs so
+    the next generate skips in-flight work (Generator.java:421-463)."""
+    gen = fetchlist.select("url").withColumn("_generated", F.lit(True))
+    return (crawldb.join(gen, "url", "left")
+            .withColumn(
+                "metadata",
+                F.when(
+                    F.col("_generated"),
+                    F.map_concat(
+                        F.map_filter(
+                            F.coalesce(F.col("metadata"), F.create_map()),
+                            lambda k, v: k != META_GENERATE_TIME),
+                        F.create_map(F.lit(META_GENERATE_TIME),
+                                     F.lit(str(gen_time_ms)))))
+                .otherwise(F.col("metadata")))
+            .drop("_generated"))
