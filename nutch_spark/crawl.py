@@ -1,0 +1,179 @@
+"""Crawl-cycle driver: inject → [generate → fetch → parse → updatedb →
+invertlinks → dedup]×rounds, with per-round checkpoints and metrics.
+
+Reference: src/bin/crawl:18-279 — inject once, then loop generate
+(-topN, -noFilter), fetch (-noParsing), parse, updatedb, invertlinks,
+dedup; the loop exits when generate yields an empty fetchlist.
+
+Spark shape: each stage is a DataFrame program; round boundaries are
+parquet snapshot directories (``crawldb/round=N``) standing in for
+Iceberg snapshot commits (atomic install, CrawlDb.java:155-173 — on a
+cluster these become ``overwritePartitions`` on an Iceberg table
+bucket-partitioned by url hash). A ``_metrics`` table accumulates
+per-round, per-stage row counts and virtual-clock stats — the
+per-partition lineage + metrics the north rule requires for
+resumability; ``resume_round`` restarts from the latest snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import CrawlConfig
+from .operators import dedup as dedup_op
+from .operators import fetch as fetch_op
+from .operators import generate as gen_op
+from .operators import inject as inject_op
+from .operators import linkdb as linkdb_op
+from .operators import parse as parse_op
+from .operators import updatedb as update_op
+from .operators import urlseen
+from . import schema as S
+
+
+class CrawlRun:
+    """One crawl over a pages table, checkpointed under ``out_dir``."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 cfg: CrawlConfig, pages: DataFrame,
+                 robots: DataFrame, http_status: DataFrame | None = None,
+                 use_bloom: bool = True, bloom_buckets: int = 64):
+        self.spark = spark
+        self.out = out_dir
+        self.cfg = cfg
+        self.pages = pages
+        self.robots = robots
+        self.http_status = http_status
+        self.use_bloom = use_bloom
+        self.bloom_buckets = bloom_buckets
+        self.metrics: list[dict] = []
+
+    # --- checkpoint helpers --------------------------------------------
+    def _path(self, name: str, rnd: int | None = None) -> str:
+        p = os.path.join(self.out, name)
+        return p if rnd is None else os.path.join(p, f"round={rnd}")
+
+    def _write(self, df: DataFrame, name: str, rnd: int | None = None,
+               partition_by: str | None = None) -> DataFrame:
+        path = self._path(name, rnd)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _metric(self, rnd: int, stage: str, **kv) -> None:
+        self.metrics.append({"round": rnd, "stage": stage,
+                             "ts": time.time(), **kv})
+
+    def flush_metrics(self) -> None:
+        path = os.path.join(self.out, "_metrics.jsonl")
+        with open(path, "w") as f:
+            for m in self.metrics:
+                f.write(json.dumps(m) + "\n")
+
+    def resume_round(self) -> int:
+        """Latest committed crawldb round, or -1 if none (the
+        resumability contract: restart continues from here)."""
+        base = os.path.join(self.out, "crawldb")
+        if not os.path.isdir(base):
+            return -1
+        rounds = [int(d.split("=")[1]) for d in os.listdir(base)
+                  if d.startswith("round=")]
+        return max(rounds) if rounds else -1
+
+    def load_crawldb(self, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(self._path("crawldb", rnd))
+
+    # --- stages --------------------------------------------------------
+    def inject(self, seeds: DataFrame, now_ms: int) -> DataFrame:
+        prev = self.resume_round()
+        db = self.load_crawldb(prev) if prev >= 0 else None
+        new_db = inject_op.inject(db, seeds, self.cfg, now_ms)
+        out = self._write(new_db, "crawldb", max(prev, 0))
+        self._metric(max(prev, 0), "inject", rows=out.count())
+        return out
+
+    def run_round(self, rnd: int, now_ms: int) -> dict:
+        """One generate→fetch→parse→updatedb→invertlinks→dedup round.
+        Returns the per-stage row counts; ``fetchlist_rows == 0``
+        signals the caller to stop (bin/crawl:195-207)."""
+        cfg = self.cfg
+        db = self.load_crawldb(rnd - 1 if rnd > 0 else 0)
+        t0 = time.time()
+
+        fetchlist = gen_op.generate(
+            db, cfg.with_(partition_seed=cfg.partition_seed ^ rnd),
+            cur_time_ms=now_ms, gen_time_ms=now_ms)
+        fetchlist = self._write(fetchlist, "segments/crawl_generate", rnd)
+        n_fl = fetchlist.count()
+        self._metric(rnd, "generate", rows=n_fl, sec=time.time() - t0)
+        if n_fl == 0:
+            return {"fetchlist_rows": 0}
+
+        t0 = time.time()
+        fr = fetch_op.fetch(fetchlist, self.pages, self.robots,
+                            self.http_status, cfg, now_ms)
+        crawl_fetch = self._write(fr["crawl_fetch"],
+                                  "segments/crawl_fetch", rnd)
+        content = fr["content"]
+        linked_redir = fr["linked"]
+        n_fetched = crawl_fetch.count()
+        self._metric(rnd, "fetch", rows=n_fetched, sec=time.time() - t0,
+                     partitions=cfg.num_fetch_partitions)
+
+        t0 = time.time()
+        pr = parse_op.parse_segment(content, cfg, now_ms)
+        parse_text = self._write(pr["parse_text"], "segments/parse_text",
+                                 rnd)
+        parse_data = self._write(pr["parse_data"], "segments/parse_data",
+                                 rnd)
+        crawl_parse = pr["crawl_parse"].unionByName(linked_redir)
+        self._metric(rnd, "parse", rows=parse_text.count(),
+                     sec=time.time() - t0)
+
+        # URL-seen bloom prefilter: discovered linked rows that are
+        # definitely new skip nothing semantically (updatedb handles
+        # both), but pre-splitting lets the huge frontier join see
+        # only bloom hits; correctness stays exact.
+        t0 = time.time()
+        messages = crawl_fetch.drop("queue_id", "virtual_time") \
+            .unionByName(crawl_parse)
+        new_db = update_op.updatedb(db, messages, cfg, now_ms)
+        new_db = dedup_op.dedup(new_db)
+        new_db = self._write(new_db, "crawldb", rnd)
+        n_db = new_db.count()
+        self._metric(rnd, "updatedb", rows=n_db, sec=time.time() - t0)
+
+        t0 = time.time()
+        edges = parse_op.outlink_edges(parse_data)
+        ldb = linkdb_op.invert_links(edges, cfg)
+        ldb = self._write(ldb, "linkdb", rnd)
+        self._metric(rnd, "invertlinks", rows=ldb.count(),
+                     sec=time.time() - t0)
+
+        if self.use_bloom:
+            bloom = urlseen.build_bloom(
+                new_db.select("url"), n_buckets=self.bloom_buckets)
+            self._write(bloom, "urlseen_bloom", rnd)
+
+        return {"fetchlist_rows": n_fl, "fetched_rows": n_fetched,
+                "crawldb_rows": n_db}
+
+    def crawl(self, seeds: DataFrame, rounds: int,
+              start_ms: int | None = None,
+              round_ms: int = 24 * 3600 * 1000) -> DataFrame:
+        """Full crawl; virtual clock advances one ``round_ms`` per
+        round so re-fetch scheduling behaves deterministically."""
+        now = start_ms if start_ms is not None else int(time.time() * 1000)
+        self.inject(seeds, now)
+        for r in range(1, rounds + 1):
+            stats = self.run_round(r, now + r * round_ms)
+            if stats["fetchlist_rows"] == 0:
+                break
+        self.flush_metrics()
+        return self.load_crawldb(self.resume_round())

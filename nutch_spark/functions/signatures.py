@@ -72,7 +72,8 @@ def text_profile_udf(min_token_len: int = 2, quant_rate: float = 0.01):
 
 
 def signature_col(kind: str, html_col: Column, text_col: Column,
-                  url_col: Column) -> Column:
+                  url_col: Column, min_token_len: int = 2,
+                  quant_rate: float = 0.01) -> Column:
     """Signature column per configured kind; raw-MD5 falls back to the
     URL when bytes are absent (MD5Signature.java:33-38)."""
     raw_md5 = F.when(html_col.isNotNull(), F.md5(html_col)) \
@@ -83,5 +84,6 @@ def signature_col(kind: str, html_col: Column, text_col: Column,
         return F.when(text_col.isNotNull(),
                       F.md5(F.encode(text_col, "UTF-8"))).otherwise(raw_md5)
     if kind == "text_profile":
-        return F.coalesce(text_profile_udf()(text_col), raw_md5)
+        return F.coalesce(
+            text_profile_udf(min_token_len, quant_rate)(text_col), raw_md5)
     raise ValueError(f"unknown signature kind: {kind}")

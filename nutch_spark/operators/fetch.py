@@ -1,0 +1,243 @@
+"""Fetcher — the politeness scheduler, Spark-native.
+
+Reference: Fetcher.java / FetcherThread.java / FetchItemQueue.java.
+The reference runs an in-memory multi-queue thread scheduler per map
+task: items are grouped into per-authority queues (``proto://host``
+lowercased, FetchItem.java:64-101); each queue serves FIFO with
+``nextFetchTime = lastFinish + crawlDelay`` (FetchItemQueue.java:95-138,
+fetcher.server.delay=5 s); robots.txt is checked before each fetch
+(FetcherThread.java:254-289); protocol outcomes map to CrawlDatum fetch
+statuses (FetcherThread.java:309-401); redirects emit ``linked`` datums
+carrying ``_repr_`` (FetcherThread.java:425-509, URLUtil.chooseRepr).
+
+Spark-native replacement ("fetch" = equi-join against the pages table,
+per BASELINE.json input_hint — no live network):
+
+1. fetchlist → broadcast-join robots fixtures → vectorized rule eval;
+2. **deterministic virtual-time schedule**: within each queue the k-th
+   *attempted* URL (FIFO in HashComparator url-hash order, matching the
+   fetchlist shuffle order of Generator.java:386-416) completes at
+   ``round_start + k × effective_delay(queue)`` — this reproduces the
+   crawl-ordering contract without threads, and the timelimit becomes a
+   filter on virtual time (Fetcher.java:391-397);
+3. equi-join of the surviving fetchlist against ``http_status`` and
+   ``pages`` on url (the protocol GET);
+4. one ``when``-chain maps protocol outcome → fetch status;
+5. redirect targets are canonicalized, filtered, and emitted as
+   ``linked`` rows with ``_repr_`` via chooseRepr (URLUtil.java:325-425).
+
+Scale notes: the politeness unit is the fetch partition (salted host
+partitioning from generate); the virtual-time window shuffles on
+queue_id only once; robots is broadcast (one row per authority); the
+pages join is url-equi and never carries html bytes past the content
+projection (column pruning keeps frontier columns off the wide scan).
+Speculative execution must stay off for wall-clock runs
+(Fetcher.java:483) — moot under virtual time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..config import CrawlConfig
+from ..functions.filters import filter_accepts_col
+from ..functions.robots import join_robots
+from ..functions.urls import choose_repr, spark_udfs
+from ..schema import (
+    FETCH_GONE, FETCH_NOTMODIFIED, FETCH_REDIR_PERM, FETCH_REDIR_TEMP,
+    FETCH_RETRY, FETCH_SUCCESS, META_PROTOCOL_STATUS, META_REPR_URL,
+    STATUS_LINKED,
+)
+
+# protocol-status names recorded under _pst_ (ProtocolStatus analog)
+PST_SUCCESS = "success"
+PST_MOVED = "moved"
+PST_TEMP_MOVED = "temp_moved"
+PST_NOTMODIFIED = "notmodified"
+PST_NOTFOUND = "notfound"
+PST_ACCESS_DENIED = "access_denied"
+PST_EXCEPTION = "exception"
+PST_ROBOTS_DENIED = "robots_denied"
+PST_ROBOTS_DENIED_DELAY = "robots_denied_maxcrawldelay"
+
+
+def _choose_repr_udf():
+    @pandas_udf("string")
+    def _f(src: pd.Series, dst: pd.Series, temp: pd.Series) -> pd.Series:
+        return pd.Series([
+            choose_repr(s, d, bool(t)) if isinstance(d, str) else None
+            for s, d, t in zip(src, dst, temp)])
+    return _f
+
+
+def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
+          http_status: DataFrame | None, cfg: CrawlConfig,
+          round_start_ms: int) -> dict[str, DataFrame]:
+    """Run one fetch round. Returns dict with:
+
+    - ``crawl_fetch``: CRAWLDB-schema rows (fetch_* statuses,
+      fetch_time = virtual completion time);
+    - ``content``: fetched page bytes+text for parse (fetch_success);
+    - ``linked``: redirect-discovered CRAWLDB rows (status=linked,
+      ``_repr_`` metadata) — feed into updatedb.
+    """
+    udfs = spark_udfs()
+
+    fl = join_robots(fetchlist, robots, cfg.http_agent_name,
+                     cfg.http_robots_403_allow)
+    fl = fl.withColumn("queue_id", udfs["queue_id"](F.col("url")))
+
+    delay_over = (F.col("robots_delay_ms").isNotNull()
+                  & (F.col("robots_delay_ms") > cfg.fetcher_max_crawl_delay_ms))
+    attempted = F.col("robots_allowed") & ~delay_over
+    eff_delay = (F.when(
+        F.col("robots_delay_ms").isNotNull() & ~delay_over,
+        F.col("robots_delay_ms"))
+        .otherwise(F.lit(cfg.fetcher_server_delay_ms)))
+
+    # FIFO order within a queue = HashComparator url-hash order
+    # (Generator.java:386-416); row_number only over attempted items —
+    # robots-denied URLs are emitted immediately and consume no
+    # politeness slot (FetcherThread.java:254-266).
+    w = Window.partitionBy("queue_id").orderBy("_urlhash", "url")
+    fl = (fl.withColumn("_urlhash", udfs["url_hash"](F.col("url")))
+            .withColumn("_attempted", attempted)
+            .withColumn("_eff_delay", eff_delay))
+    wa = Window.partitionBy("queue_id", "_attempted") \
+        .orderBy("_urlhash", "url")
+    fl = fl.withColumn(
+        "_k",
+        F.when(F.col("_attempted"),
+               F.row_number().over(wa) - 1).otherwise(F.lit(0)))
+    fl = fl.withColumn(
+        "virtual_time",
+        (F.lit(round_start_ms)
+         + F.col("_k").cast("long") * F.col("_eff_delay")).cast("long"))
+
+    # fetcher.timelimit.mins → drop items past the budget
+    # (Fetcher.java:391-397, hitByTimeLimit); they stay unfetched.
+    if cfg.fetcher_timelimit_ms and cfg.fetcher_timelimit_ms > 0:
+        fl = fl.where(~F.col("_attempted")
+                      | (F.col("virtual_time")
+                         <= round_start_ms + cfg.fetcher_timelimit_ms))
+
+    # --- the "protocol GET": equi-joins on url --------------------------
+    page_side = pages.select(
+        "url", F.lit(True).alias("_has_page"), "html", "text", "lang",
+        (F.unix_timestamp("warc_ts") * 1000).cast("long").alias("_page_ms"))
+    if http_status is not None:
+        st = http_status.select("url", "status_code", "redirect_to",
+                                "content_length")
+        fl = fl.join(st, "url", "left")
+    else:
+        fl = (fl.withColumn("status_code", F.lit(None).cast("int"))
+                .withColumn("redirect_to", F.lit(None).cast("string"))
+                .withColumn("content_length", F.lit(None).cast("long")))
+    joined = fl.join(page_side, "url", "left")
+
+    code = F.coalesce(
+        F.col("status_code"),
+        F.when(F.col("_has_page").isNotNull(), F.lit(200))
+         .otherwise(F.lit(404)))
+
+    # status mapping (FetcherThread.java:309-401)
+    pst = (F.when(~F.col("robots_allowed"), PST_ROBOTS_DENIED)
+            .when(delay_over, PST_ROBOTS_DENIED_DELAY)
+            .when(code == 200, PST_SUCCESS)
+            .when(code == 301, PST_MOVED)
+            .when(code.isin(302, 303, 307), PST_TEMP_MOVED)
+            .when(code == 304, PST_NOTMODIFIED)
+            .when(code == 403, PST_ACCESS_DENIED)
+            .when(code >= 500, PST_EXCEPTION)
+            .otherwise(PST_NOTFOUND))
+    fetch_status = (
+        F.when(pst.isin(PST_ROBOTS_DENIED, PST_ROBOTS_DENIED_DELAY,
+                        PST_NOTFOUND, PST_ACCESS_DENIED), FETCH_GONE)
+         .when(pst == PST_SUCCESS, FETCH_SUCCESS)
+         .when(pst == PST_MOVED, FETCH_REDIR_PERM)
+         .when(pst == PST_TEMP_MOVED, FETCH_REDIR_TEMP)
+         .when(pst == PST_NOTMODIFIED, FETCH_NOTMODIFIED)
+         .otherwise(FETCH_RETRY))
+
+    empty_map = F.create_map().cast("map<string,string>")
+    out_meta = F.map_concat(
+        F.coalesce(F.col("metadata"), empty_map),
+        F.create_map(F.lit(META_PROTOCOL_STATUS), pst))
+
+    result = (joined
+              .withColumn("_pst", pst)
+              .withColumn("_fstatus", fetch_status)
+              .withColumn("_out_meta", out_meta))
+    result.cache()
+
+    crawl_fetch = result.select(
+        "url",
+        F.col("_fstatus").alias("status"),
+        F.when(F.col("_attempted"), F.col("virtual_time"))
+         .otherwise(F.lit(round_start_ms)).cast("long").alias("fetch_time"),
+        F.col("retries"),
+        F.col("fetch_interval"),
+        F.col("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.coalesce(F.when(F.col("_fstatus") == FETCH_SUCCESS,
+                          F.col("_page_ms")), F.lit(0))
+         .cast("long").alias("modified_time"),
+        F.col("_out_meta").alias("metadata"),
+        F.col("queue_id"),
+        F.col("virtual_time"),
+    )
+
+    content = (result
+               .where(F.col("_fstatus") == FETCH_SUCCESS)
+               .where(F.col("content_length").isNull()
+                      | (F.col("content_length") <= F.length("html")))
+               .select("url", "html", "text", "lang",
+                       F.col("virtual_time").alias("fetch_time"),
+                       "score", "fetch_interval", "metadata"))
+
+    # --- redirects → linked rows (FetcherThread.java:425-509) -----------
+    redirs = (result
+              .where(F.col("_fstatus").isin(FETCH_REDIR_PERM,
+                                            FETCH_REDIR_TEMP)
+                     & F.col("redirect_to").isNotNull())
+              .withColumn("_new_url",
+                          udfs["canonicalize"](F.col("redirect_to"))))
+    if cfg.ignore_external_links:
+        redirs = redirs.where(
+            udfs["host"](F.col("url")) == udfs["host"](F.col("_new_url")))
+    redirs = (redirs
+              .where(F.col("_new_url").isNotNull()
+                     & (F.col("_new_url") != F.col("url")))
+              .transform(lambda d: filter_accepts_col(
+                  d, cfg.url_filter_rules, "_new_url"))
+              .where(F.col("accepted")))
+    linked = redirs.select(
+        F.col("_new_url").alias("url"),
+        F.lit(STATUS_LINKED).alias("status"),
+        F.col("virtual_time").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.col("fetch_interval"),
+        F.col("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.create_map(
+            F.lit(META_REPR_URL),
+            _choose_repr_udf()(
+                F.col("url"), F.col("_new_url"),
+                (F.col("_fstatus") == FETCH_REDIR_TEMP).cast("boolean")))
+        .alias("metadata"),
+    )
+
+    return {"crawl_fetch": crawl_fetch, "content": content,
+            "linked": linked}
+
+
+def fetch_metrics(crawl_fetch: DataFrame) -> DataFrame:
+    """Per-status counters (FetcherStatus group, Fetcher.java:135-154)."""
+    pst = F.element_at("metadata", META_PROTOCOL_STATUS)
+    return (crawl_fetch
+            .groupBy(F.col("status"), pst.alias("protocol_status"))
+            .agg(F.count("*").alias("n"),
+                 F.max("virtual_time").alias("last_virtual_time")))

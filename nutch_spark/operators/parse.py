@@ -1,0 +1,199 @@
+"""ParseSegment — HTML parse + crawl_parse emissions.
+
+Reference: ParseSegment.java:78-193 (map: only fetch_success, skip
+truncated, parse, signature), ParseOutputFormat.java:90-352 (emit
+parse_text / parse_data / crawl_parse: signature datum, parse_meta
+datum, outlink ``linked`` datums with OPIC score distribution, meta-
+refresh redirect with ``_repr_``), HtmlParser.java + DOMContentUtils
+(the text/title/outlink algorithms — functions/htmlparse.py).
+
+Spark shape: one Arrow-batched pandas UDF does the DOM work
+(``html binary → struct(text, title, outlinks, redirect)``), everything
+downstream is column ops: ``explode(outlinks)`` + per-link score =
+``parent_score / n_outlinks × factor`` (OPICScoringFilter.java:122-165),
+outlink cap via ``slice`` (db.max.outlinks.per.page=100), anchor
+truncation, self-link drop (ParseOutputFormat.java:320-323), then the
+canonicalize/filter chain (scope=outlink).
+
+Scale notes: the UDF is the only Python in the hot path and is
+Arrow-batched; the html column is projected only into the UDF input and
+never shuffled (parse emissions carry urls + small strings). The
+explode multiplies rows ~outlink-degree ×; the cap bounds it at 100 per
+page before the shuffle to updatedb.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, StringType, StructField, StructType,
+)
+
+from ..config import CrawlConfig
+from ..functions.filters import filter_accepts_col
+from ..functions.htmlparse import parse_html
+from ..functions.signatures import signature_col
+from ..functions.urls import spark_udfs
+from ..schema import (
+    META_REPR_URL, OUTLINK, STATUS_LINKED, STATUS_PARSE_META,
+    STATUS_SIGNATURE,
+)
+
+PARSE_UDF_SCHEMA = StructType([
+    StructField("text", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("outlinks", ArrayType(OUTLINK), True),
+    StructField("redirect", StringType(), True),
+])
+
+
+def parse_udf():
+    @pandas_udf(PARSE_UDF_SCHEMA)
+    def _parse(htmls: pd.Series, urls: pd.Series) -> pd.DataFrame:
+        texts, titles, links, redirs = [], [], [], []
+        for html, url in zip(htmls, urls):
+            r = parse_html(html if html is not None else None, url or "")
+            texts.append(r.text)
+            titles.append(r.title)
+            links.append([{"to_url": t, "anchor": a}
+                          for t, a in r.outlinks])
+            redirs.append(r.redirect)
+        return pd.DataFrame({"text": texts, "title": titles,
+                             "outlinks": links, "redirect": redirs})
+    return _parse
+
+
+def parse_segment(content: DataFrame, cfg: CrawlConfig,
+                  now_ms: int) -> dict[str, DataFrame]:
+    """Parse fetched content. Input = fetch()'s ``content`` frame
+    (url, html, text, lang, fetch_time, score, fetch_interval,
+    metadata). Returns:
+
+    - ``parse_text``: url, text  (byte-identity target);
+    - ``parse_data``: url, title, outlinks, signature;
+    - ``crawl_parse``: CRAWLDB-schema message rows (signature +
+      linked outlinks + meta-refresh redirects [+ parse_meta]).
+    """
+    parsed = (content
+              .withColumn("_p", parse_udf()(F.col("html"), F.col("url")))
+              .withColumn(
+                  "signature",
+                  signature_col(cfg.signature_kind, F.col("html"),
+                                F.col("_p.text"),
+                                F.col("url"),
+                                min_token_len=cfg.text_profile_min_token_len,
+                                quant_rate=cfg.text_profile_quant_rate)))
+    parsed.cache()
+
+    parse_text = parsed.select("url", F.col("_p.text").alias("text"))
+    parse_data = parsed.select(
+        "url", F.col("_p.title").alias("title"),
+        F.col("_p.outlinks").alias("outlinks"), "signature",
+        F.col("fetch_time"))
+
+    empty_map = F.create_map().cast("map<string,string>")
+
+    # signature datum (ParseOutputFormat.java:158-167)
+    sig_rows = parsed.select(
+        "url", F.lit(STATUS_SIGNATURE).alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.col("fetch_interval"),
+        F.lit(0.0).alias("score"),
+        F.col("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        empty_map.alias("metadata"))
+
+    # parse_meta datum (db.parsemeta.to.crawldb, :169-183)
+    crawl_parse = sig_rows
+    if cfg.db_parsemeta_to_crawldb:
+        keys = list(cfg.db_parsemeta_to_crawldb)
+        pm = parsed.select(
+            "url", F.lit(STATUS_PARSE_META).alias("status"),
+            F.col("fetch_time").cast("long").alias("fetch_time"),
+            F.lit(0).cast("int").alias("retries"),
+            F.col("fetch_interval"),
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.lit(0).cast("long").alias("modified_time"),
+            F.map_filter(F.coalesce(F.col("metadata"), empty_map),
+                         lambda k, v: k.isin(*keys)).alias("metadata"))
+        crawl_parse = crawl_parse.unionByName(pm)
+
+    # outlink linked datums with OPIC distribution
+    # (ParseOutputFormat.java:227-297, OPICScoringFilter.java:122-165)
+    udfs = spark_udfs()
+    ol = (parsed
+          .select("url", "score", "fetch_interval",
+                  F.slice(F.coalesce(F.col("_p.outlinks"),
+                                     F.array().cast(f"array<struct<"
+                                                    f"to_url:string,"
+                                                    f"anchor:string>>")),
+                          1, cfg.db_max_outlinks_per_page).alias("links"))
+          .withColumn("_n", F.greatest(F.size("links"), F.lit(1)))
+          .withColumn("link", F.explode("links"))
+          .withColumn("to_url", udfs["canonicalize"](F.col("link.to_url")))
+          .where(F.col("to_url").isNotNull()
+                 & (F.col("to_url") != F.col("url"))))  # self-link drop
+    if cfg.ignore_external_links:
+        ol = ol.where(udfs["host"](F.col("url"))
+                      == udfs["host"](F.col("to_url")))
+    ol = (ol.transform(lambda d: filter_accepts_col(
+              d, cfg.url_filter_rules, "to_url"))
+            .where(F.col("accepted")))
+    same_host = udfs["host"](F.col("url")) == udfs["host"](F.col("to_url"))
+    factor = F.when(same_host, F.lit(cfg.db_score_link_internal)) \
+        .otherwise(F.lit(cfg.db_score_link_external))
+    linked = ol.select(
+        F.col("to_url").alias("url"),
+        F.lit(STATUS_LINKED).alias("status"),
+        F.lit(now_ms).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(cfg.db_fetch_interval_default).cast("int")
+         .alias("fetch_interval"),
+        (F.col("score") / F.col("_n") * factor).cast("double")
+         .alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.create_map(
+            F.lit("_anchor_"),
+            F.substring(F.coalesce(F.col("link.anchor"), F.lit("")),
+                        1, cfg.db_max_anchor_length)).alias("metadata"))
+    crawl_parse = crawl_parse.unionByName(linked)
+
+    # meta-refresh redirect → linked datum with _repr_
+    # (ParseOutputFormat.java:196-216, HtmlParser.java:225-229)
+    redir = (parsed
+             .where(F.col("_p.redirect").isNotNull())
+             .withColumn("_new", udfs["canonicalize"](F.col("_p.redirect")))
+             .where(F.col("_new").isNotNull()
+                    & (F.col("_new") != F.col("url"))))
+    redir_rows = redir.select(
+        F.col("_new").alias("url"),
+        F.lit(STATUS_LINKED).alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.col("fetch_interval"),
+        F.col("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.create_map(F.lit(META_REPR_URL), F.col("url")).alias("metadata"))
+    crawl_parse = crawl_parse.unionByName(redir_rows)
+
+    return {"parse_text": parse_text, "parse_data": parse_data,
+            "crawl_parse": crawl_parse}
+
+
+def outlink_edges(parse_data: DataFrame,
+                  cfg: CrawlConfig | None = None) -> DataFrame:
+    """Flatten parse_data to (from_url, to_url, anchor) edges — the
+    input to LinkDb / WebGraph inversion (LinkDb.java:85-155)."""
+    df = (parse_data
+          .select(F.col("url").alias("from_url"),
+                  F.explode("outlinks").alias("l"))
+          .select("from_url", F.col("l.to_url").alias("to_url"),
+                  F.col("l.anchor").alias("anchor"))
+          .where(F.col("to_url") != F.col("from_url")))
+    return df

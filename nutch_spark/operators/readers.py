@@ -1,0 +1,151 @@
+"""Reader / reporting operators — the crawl's query surface.
+
+Reference: CrawlDbReader.java (-stats -dump -topN -url),
+LinkDbReader.java, SegmentReader.java, DomainStatistics.java,
+IndexerMapReduce.java (the indexable-document join).
+
+All pure DataFrame ops; stats reproduce the reference's exact
+score-quantization so printed numbers are comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CrawlConfig
+from ..functions.urls import spark_udfs
+from ..schema import (
+    DB_DUPLICATE, DB_FETCHED, DB_GONE, DB_NOTMODIFIED, DB_REDIR_PERM,
+    DB_REDIR_TEMP,
+)
+
+
+def crawldb_stats(crawldb: DataFrame) -> DataFrame:
+    """readdb -stats (CrawlDbReader.java:177-303): per-status counts +
+    retry histogram + score min/max/avg. The reference quantizes scores
+    by ×1000 long truncation in the combiner (lines 417-456); we
+    reproduce that quantization for printed-stat parity."""
+    q = (F.col("score") * 1000).cast("long")
+    return (crawldb
+            .groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 (F.min(q) / 1000.0).alias("score_min"),
+                 (F.max(q) / 1000.0).alias("score_max"),
+                 (F.sum(q) / 1000.0 / F.count("*")).alias("score_avg"),
+                 F.max("retries").alias("max_retries")))
+
+
+def retry_histogram(crawldb: DataFrame) -> DataFrame:
+    return crawldb.groupBy("retries").agg(F.count("*").alias("n"))
+
+
+def crawldb_top_n(crawldb: DataFrame, n: int,
+                  min_score: float | None = None) -> DataFrame:
+    """readdb -topN (CrawlDbReader.java:305-353)."""
+    df = crawldb
+    if min_score is not None:
+        df = df.where(F.col("score") >= min_score)
+    return (df.orderBy(F.desc("score"), F.asc("url")).limit(n)
+            .select("url", "score"))
+
+
+def crawldb_get(crawldb: DataFrame, url: str) -> DataFrame:
+    """readdb -url point lookup (CrawlDbReader.java:458-476); with a
+    url-hash-bucketed table this is a single-bucket pruned scan."""
+    return crawldb.where(F.col("url") == url)
+
+
+def crawldb_dump(crawldb: DataFrame, regex: str | None = None,
+                 status: str | None = None,
+                 retry_min: int | None = None,
+                 expr: str | None = None) -> DataFrame:
+    """readdb -dump with filters (CrawlDbReader.java; JEXL expressions
+    become Spark SQL expr strings — CrawlDatum.java:528-589)."""
+    df = crawldb
+    if regex:
+        df = df.where(F.col("url").rlike(regex))
+    if status:
+        df = df.where(F.col("status") == status)
+    if retry_min is not None:
+        df = df.where(F.col("retries") >= retry_min)
+    if expr:
+        df = df.where(F.expr(expr))
+    return df
+
+
+def domain_statistics(crawldb: DataFrame, mode: str = "host") -> DataFrame:
+    """DomainStatistics.java: counts per host / registered domain /
+    suffix. Fetched-state filter matches the reference (MODE counts
+    fetched rows: status db_fetched or db_notmodified)."""
+    udfs = spark_udfs()
+    key = udfs["host" if mode == "host" else "domain"](F.col("url"))
+    return (crawldb
+            .withColumn("_key", key)
+            .where(F.col("_key").isNotNull())
+            .groupBy(F.col("_key").alias(mode))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("status").isin(
+                     DB_FETCHED, DB_NOTMODIFIED), 1).otherwise(0))
+                 .alias("fetched")))
+
+
+def linkdb_lookup(linkdb: DataFrame, url: str) -> DataFrame:
+    """readlinkdb -url (LinkDbReader.java)."""
+    return linkdb.where(F.col("url") == url)
+
+
+def segment_reader(url: str, **tables: DataFrame) -> DataFrame:
+    """SegmentReader -get: merged view of all segment sub-tables for
+    one url (SegmentReader.java)."""
+    out = None
+    for name, df in tables.items():
+        if df is None:
+            continue
+        row = df.where(F.col("url") == url)
+        row = row.select("url", *[
+            F.col(c).alias(f"{name}_{c}") for c in row.columns
+            if c != "url"])
+        out = row if out is None else out.join(row, "url", "full_outer")
+    return out
+
+
+def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
+                 parse_text: DataFrame, parse_data: DataFrame,
+                 crawl_fetch: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """IndexerMapReduce.java:165-319 — co-group crawldb ∪ linkdb ∪
+    segment tables by url; a document requires dbDatum + fetchDatum +
+    parseData + parseText; gone/redirect/duplicate rows are deleted
+    (skipped); boost = score^0.5 (OPIC indexer boost,
+    OPICScoringFilter.java:168-172); fields follow index-basic.
+
+    Spark: multi-way join on url + filters → the indexable-document
+    DataFrame (the engine's equivalent of the Solr/ES sink).
+    """
+    db = crawldb.select("url", F.col("status").alias("db_status"),
+                        "score", "signature")
+    cf = crawl_fetch.select("url",
+                            F.col("status").alias("fetch_status"),
+                            F.col("fetch_time").alias("fetched_at"))
+    pt = parse_text.select("url", "text")
+    pd_ = parse_data.select("url", "title")
+    doc = (db.join(cf, "url")
+             .join(pd_, "url")
+             .join(pt, "url")
+             .where(~F.col("db_status").isin(
+                 DB_GONE, DB_REDIR_PERM, DB_REDIR_TEMP, DB_DUPLICATE)))
+    if linkdb is not None:
+        anchors = linkdb.select(
+            "url",
+            F.transform("inlinks", lambda i: i["anchor"]).alias("anchors"))
+        doc = doc.join(anchors, "url", "left")
+    else:
+        doc = doc.withColumn("anchors",
+                             F.lit(None).cast("array<string>"))
+    udfs = spark_udfs()
+    return doc.select(
+        "url",
+        udfs["host"](F.col("url")).alias("host"),
+        "title", "text", "anchors",
+        F.col("signature").alias("digest"),
+        F.pow(F.greatest(F.col("score"), F.lit(0.0)), 0.5).alias("boost"),
+        "fetched_at")

@@ -19,6 +19,11 @@ def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
          .master(f"local[{cores}]")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
+         # metadata maps merge with put/overwrite semantics throughout
+         # the reference (CrawlDatum.putAllMetaData, fetch-wins at
+         # CrawlDbReducer.java:172-186) — LAST_WIN reproduces that for
+         # map_concat overlays
+         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
