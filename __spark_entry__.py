@@ -1,38 +1,665 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries + DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 over
+the driver's parquet tables. Crawl operators run on a **derived
+crawldb** built from ``documents`` with SQL-expressible column
+derivations (urls `http://host{doc_id%40}.test/p{doc_id}`), so the
+DuckDB oracle can reproduce the exact same input and the comparison
+checks the *operator semantics*, not the fixture. Non-SQL-expressible
+operators (virtual-time politeness, MinHash LSH, SimHash) have no
+oracle entry → rows-only checks.
+
+Column names are aligned between Spark and SQL on every computed
+column; floats are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from nutch_spark.config import CrawlConfig
+from nutch_spark.operators import (
+    ann, dedup, dedup_text, fetch as fetch_op, generate as gen_op,
+    inject as inject_op, linkdb as linkdb_op, multimodal,
+    parse as parse_op, readers, textops, updatedb as update_op,
+)
+from nutch_spark.operators.merge import merge_crawldbs
+
+CUR_TIME_MS = 1_000_000_000_000
+FETCH_TIME_MS = 2_000_000_000
+INDEX_FETCH_MS = 3_000_000
+INJECT_NOW_MS = 1000
+LINK_NOW_MS = 5000
+
+CFG = CrawlConfig()
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _url(idcol) -> F.Column:
+    return F.concat(F.lit("http://host"), (idcol % 40).cast("string"),
+                    F.lit(".test/p"), idcol.cast("string"))
+
+
+def _crawldb(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived frontier: SQL-mirrorable columns from documents."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    return d.select(
+        _url(i).alias("url"),
+        F.when(i % 5 == 0, "db_fetched").otherwise("db_unfetched")
+         .alias("status"),
+        ((i % 100) * 1000).cast("long").alias("fetch_time"),
+        (i % 4).cast("int").alias("retries"),
+        (F.lit(3600) + (i % 100)).cast("int").alias("fetch_interval"),
+        ((i % 97) / 10.0).cast("double").alias("score"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+
+
+# the same derivation as a DuckDB CTE (keeps doc_id + host for oracles)
+CRAWLDB_CTE = """
+WITH crawldb AS (
+  SELECT doc_id,
+         'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'host' || CAST(doc_id % 40 AS VARCHAR) || '.test' AS host,
+         CASE WHEN doc_id % 5 = 0 THEN 'db_fetched'
+              ELSE 'db_unfetched' END AS status,
+         (doc_id % 100) * 1000 AS fetch_time,
+         CAST(doc_id % 4 AS INTEGER) AS retries,
+         CAST(3600 + (doc_id % 100) AS INTEGER) AS fetch_interval,
+         CAST(doc_id % 97 AS DOUBLE) / 10.0 AS score,
+         md5(text) AS signature,
+         CAST(0 AS BIGINT) AS modified_time,
+         text
+  FROM documents
+)
+"""
+
+EDGE_SQL = """
+edges AS (
+  SELECT DISTINCT
+         'http://host' || CAST(l_orderkey % 40 AS VARCHAR) || '.test/p'
+           || CAST(l_orderkey AS VARCHAR) AS from_url,
+         'http://host' || CAST(l_partkey % 40 AS VARCHAR) || '.test/p'
+           || CAST(l_partkey AS VARCHAR) AS to_url,
+         'a' || CAST(l_linenumber AS VARCHAR) AS anchor,
+         l_orderkey % 40 AS from_host, l_partkey % 40 AS to_host
+  FROM lineitem
+)
+"""
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.select(
+        _url(F.col("l_orderkey")).alias("from_url"),
+        _url(F.col("l_partkey")).alias("to_url"),
+        F.concat(F.lit("a"), F.col("l_linenumber").cast("string"))
+         .alias("anchor")).distinct()
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_generate_topn(spark, sf):
+    cfg = CFG.with_(generate_top_n=50, generate_max_count=-1,
+                    generate_filter=False)
+    fl = gen_op.generate(_crawldb(spark, sf), cfg,
+                         cur_time_ms=CUR_TIME_MS, gen_time_ms=CUR_TIME_MS)
+    return fl.select("url", F.round("score", 4).alias("score"))
+
+
+def q_generate_hostcap(spark, sf):
+    cfg = CFG.with_(generate_top_n=-1, generate_max_count=3,
+                    generate_filter=False)
+    fl = gen_op.generate(_crawldb(spark, sf), cfg,
+                         cur_time_ms=CUR_TIME_MS, gen_time_ms=CUR_TIME_MS)
+    return fl.select("url")
+
+
+def _seed_lines(spark, sf):
+    d = _docs(spark, sf)
+    return d.where(F.col("doc_id") % 3 == 0) \
+        .select(_url(F.col("doc_id")).alias("line"))
+
+
+def q_inject_new(spark, sf):
+    db = inject_op.inject(None, _seed_lines(spark, sf), CFG,
+                          INJECT_NOW_MS)
+    return db.select("url", "status", "fetch_time",
+                     F.round("score", 4).alias("score"), "fetch_interval")
+
+
+def q_inject_merge(spark, sf):
+    old = _crawldb(spark, sf).where(
+        F.xxhash64(F.lit(0)).isNotNull()  # no-op, keeps lineage simple
+    ).where((F.regexp_extract("url", r"p(\d+)$", 1).cast("long") % 2) == 0)
+    db = inject_op.inject(old, _seed_lines(spark, sf), CFG, INJECT_NOW_MS)
+    return db.select("url", "status", "fetch_time", "retries",
+                     "fetch_interval", F.round("score", 4).alias("score"))
+
+
+def q_updatedb_fetch(spark, sf):
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    msgs = d.where(i % 3 == 0).select(
+        _url(i).alias("url"),
+        F.lit("fetch_success").alias("status"),
+        F.lit(FETCH_TIME_MS).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        (F.lit(3600) + (i % 100)).cast("int").alias("fetch_interval"),
+        ((i % 97) / 10.0).cast("double").alias("score"),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("v2")), "UTF-8"))
+         .alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    out = update_op.updatedb(_crawldb(spark, sf), msgs, CFG, CUR_TIME_MS)
+    return out.select("url", "status", "fetch_time", "retries",
+                      "fetch_interval", F.round("score", 4).alias("score"),
+                      "signature")
+
+
+def q_updatedb_linked(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    msgs = li.select(
+        _url(F.col("l_partkey")).alias("url"),
+        F.lit("linked").alias("status"),
+        F.lit(1000).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(CFG.db_fetch_interval_default).cast("int")
+         .alias("fetch_interval"),
+        (F.col("l_quantity") / 100.0).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    out = update_op.updatedb(None, msgs, CFG, LINK_NOW_MS)
+    return out.select("url", "status", "fetch_time", "retries",
+                      "fetch_interval", F.round("score", 4).alias("score"))
+
+
+def q_dedup_mark(spark, sf):
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    db = d.select(
+        _url(i).alias("url"),
+        F.lit("db_fetched").alias("status"),
+        ((i % 7) * 1000).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        ((i % 13) / 2.0).cast("double").alias("score"),
+        F.md5((F.col("n_chars") % 25).cast("string")).alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    return dedup.find_duplicates(db).select("url")
+
+
+def q_crawldb_stats(spark, sf):
+    s = readers.crawldb_stats(_crawldb(spark, sf))
+    return s.select("status", "n",
+                    F.round("score_min", 4).alias("score_min"),
+                    F.round("score_max", 4).alias("score_max"),
+                    F.round("score_avg", 4).alias("score_avg"),
+                    "max_retries")
+
+
+def q_crawldb_topn(spark, sf):
+    return readers.crawldb_top_n(_crawldb(spark, sf), 25) \
+        .select("url", F.round("score", 4).alias("score"))
+
+
+def q_domain_stats(spark, sf):
+    return readers.domain_statistics(_crawldb(spark, sf), "host")
+
+
+def q_linkdb_invert(spark, sf):
+    ldb = linkdb_op.invert_links(_edges(spark, sf), CFG)
+    return ldb.select("url", F.size("inlinks").alias("n_inlinks"))
+
+
+def q_webgraph_degrees(spark, sf):
+    wg = linkdb_op.webgraph(_edges(spark, sf), None, CFG)
+    return wg["nodedb"].select("url", "in_degree", "out_degree")
+
+
+def q_crawldb_merge(spark, sf):
+    a = _crawldb(spark, sf)
+    key = F.regexp_extract("url", r"p(\d+)$", 1).cast("long")
+    b = (a.where(key % 2 == 0)
+         .withColumn("fetch_time", F.col("fetch_time") + 500_000_000)
+         .withColumn("score", F.col("score") + 1.0))
+    out = merge_crawldbs([a, b])
+    return out.select("url", "status", "fetch_time",
+                      F.round("score", 4).alias("score"))
+
+
+def q_indexer_docs(spark, sf):
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    db = _crawldb(spark, sf)
+    cf = d.where(i % 2 == 0).select(
+        _url(i).alias("url"), F.lit("fetch_success").alias("status"),
+        F.lit(INDEX_FETCH_MS).cast("long").alias("fetch_time"))
+    pt = d.select(_url(i).alias("url"), "text")
+    pd_ = d.select(_url(i).alias("url"),
+                   F.concat(F.lit("T"), i.cast("string")).alias("title"),
+                   F.lit(None).cast(
+                       "array<struct<to_url:string,anchor:string>>")
+                   .alias("outlinks"))
+    doc = readers.indexer_docs(db, None, pt, pd_, cf, CFG)
+    return doc.select("url", "host", "title", "digest",
+                      F.round("boost", 6).alias("boost"), "fetched_at")
+
+
+def q_parse_extract(spark, sf):
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    content = d.select(
+        _url(i).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"),
+        F.lit(FETCH_TIME_MS).cast("long").alias("fetch_time"),
+        F.lit(1.0).alias("score"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    pr = parse_op.parse_segment(content, CFG, CUR_TIME_MS)
+    parsed = pr["parse_text"].join(
+        pr["parse_data"].select("url", "signature"), "url")
+    return parsed.select("url", "text", "signature")
+
+
+def q_doc_tokens(spark, sf):
+    d = _docs(spark, sf)
+    t = F.col("text")
+    return d.select("doc_id",
+                    textops.token_count_ws(t).alias("tokens_ws"),
+                    textops.token_count_bpe(t).alias("tokens_bpe"))
+
+
+def q_doc_quality(spark, sf):
+    d = _docs(spark, sf)
+    t = F.col("text")
+    ft = textops.quality_features(t)
+    return d.select(
+        "doc_id",
+        F.round(ft["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(ft["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(textops.quality_score(t), 6).alias("quality"))
+
+
+def q_doc_langid(spark, sf):
+    d = _docs(spark, sf)
+    return d.select("doc_id",
+                    textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _docs(spark, sf)
+    return d.select("doc_id",
+                    textops.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_exact_dedup(spark, sf):
+    d = _docs(spark, sf).withColumn(
+        "text", F.substring(F.col("text"), 1, 25))
+    return dedup_text.exact_dedup(d)
+
+
+def q_ann_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ann.cosine_topk(emb, queries, k=5)
+
+
+def q_events_hourly(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (ev.groupBy(
+                F.col("event_type"),
+                F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# ---- rows-only queries (non-SQL-expressible operators) -------------------
+
+def q_fetch_politeness(spark, sf):
+    db = _crawldb(spark, sf).limit(2000)
+    cfg = CFG.with_(generate_top_n=500, generate_filter=False,
+                    num_fetch_partitions=8)
+    fl = gen_op.generate(db, cfg, cur_time_ms=CUR_TIME_MS,
+                         gen_time_ms=CUR_TIME_MS)
+    d = _docs(spark, sf)
+    pages = d.select(
+        _url(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        "text", "lang")
+    robots = spark.createDataFrame(
+        [], "authority string, robots_txt string, fetch_code int")
+    fr = fetch_op.fetch(fl, pages, robots, None, cfg, CUR_TIME_MS)
+    return fr["crawl_fetch"].select("url", "status", "queue_id",
+                                    "virtual_time")
+
+
+def q_minhash_lsh(spark, sf):
+    d = _docs(spark, sf).withColumn(
+        "text", F.substring(F.col("text"), 1, 120))
+    return dedup_text.minhash_lsh(d, num_hashes=32, bands=8,
+                                  verify_threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf):
+    d = _docs(spark, sf)
+    return dedup_text.simhash_neardup(d, max_hamming=8)
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _docs(spark, sf).withColumn(
+        "text", F.substring(F.col("text"), 1, 120))
+    return dedup_text.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+def q_ann_lsh(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ann.lsh_topk(emb, queries, k=5, n_planes=8, n_tables=4)
+
+
+def q_embedding_neardup(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ann.embedding_neardup(emb, threshold=0.5, n_planes=6,
+                                 n_tables=6)
+
+
+def q_image_features(spark, sf):
+    media = multimodal.make_media_fixture(spark, n=60)
+    return multimodal.image_features(media, dims=8) \
+        .select("media_id", "width", "height")
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: generate round over the derived frontier at sf0.001."""
+    return q_generate_topn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "generate_topn": q_generate_topn,
+        "generate_hostcap": q_generate_hostcap,
+        "inject_new": q_inject_new,
+        "inject_merge": q_inject_merge,
+        "updatedb_fetch": q_updatedb_fetch,
+        "updatedb_linked": q_updatedb_linked,
+        "dedup_mark": q_dedup_mark,
+        "crawldb_stats": q_crawldb_stats,
+        "crawldb_topn": q_crawldb_topn,
+        "domain_stats": q_domain_stats,
+        "linkdb_invert": q_linkdb_invert,
+        "webgraph_degrees": q_webgraph_degrees,
+        "crawldb_merge": q_crawldb_merge,
+        "indexer_docs": q_indexer_docs,
+        "parse_extract": q_parse_extract,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible)
+        "fetch_politeness": q_fetch_politeness,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "image_features": q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "generate_topn": CRAWLDB_CTE + """
+SELECT url, ROUND(score, 4) AS score
+FROM crawldb
+WHERE fetch_time <= 1000000000000
+ORDER BY score DESC, url ASC
+LIMIT 50""",
+
+        "generate_hostcap": CRAWLDB_CTE + """
+SELECT url FROM (
+  SELECT url, ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY score DESC, url ASC) AS rn
+  FROM crawldb WHERE fetch_time <= 1000000000000)
+WHERE rn <= 2""",
+
+        "inject_new": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'db_unfetched' AS status,
+       CAST(1000 AS BIGINT) AS fetch_time,
+       CAST(1.0 AS DOUBLE) AS score,
+       CAST(2592000 AS INTEGER) AS fetch_interval
+FROM documents WHERE doc_id % 3 = 0""",
+
+        "inject_merge": CRAWLDB_CTE + """
+SELECT url, status, fetch_time, retries, fetch_interval,
+       ROUND(score, 4) AS score
+FROM crawldb WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'db_unfetched' AS status,
+       CAST(1000 AS BIGINT) AS fetch_time,
+       CAST(0 AS INTEGER) AS retries,
+       CAST(2592000 AS INTEGER) AS fetch_interval,
+       ROUND(1.0, 4) AS score
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0""",
+
+        "updatedb_fetch": CRAWLDB_CTE + """
+SELECT url,
+       CASE WHEN doc_id % 3 = 0 THEN 'db_fetched' ELSE status END
+         AS status,
+       CASE WHEN doc_id % 3 = 0
+            THEN 2000000000 + CAST(fetch_interval AS BIGINT) * 1000
+            ELSE fetch_time END AS fetch_time,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE retries END AS retries,
+       fetch_interval,
+       ROUND(score, 4) AS score,
+       CASE WHEN doc_id % 3 = 0 THEN md5(text || 'v2')
+            ELSE signature END AS signature
+FROM crawldb""",
+
+        "updatedb_linked": """
+SELECT 'http://host' || CAST(l_partkey % 40 AS VARCHAR) || '.test/p'
+         || CAST(l_partkey AS VARCHAR) AS url,
+       'db_unfetched' AS status,
+       CAST(5000 AS BIGINT) AS fetch_time,
+       CAST(0 AS INTEGER) AS retries,
+       CAST(2592000 AS INTEGER) AS fetch_interval,
+       ROUND(SUM(l_quantity / 100.0), 4) AS score
+FROM lineitem
+GROUP BY l_partkey""",
+
+        "dedup_mark": """
+WITH db AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         (doc_id % 7) * 1000 AS fetch_time,
+         CAST(doc_id % 13 AS DOUBLE) / 2.0 AS score,
+         md5(CAST(n_chars % 25 AS VARCHAR)) AS signature
+  FROM documents)
+SELECT url FROM (
+  SELECT url, ROW_NUMBER() OVER (
+      PARTITION BY signature
+      ORDER BY score DESC, fetch_time DESC, LENGTH(url) ASC, url ASC)
+    AS rn
+  FROM db)
+WHERE rn > 1""",
+
+        "crawldb_stats": CRAWLDB_CTE + """
+SELECT status, COUNT(*) AS n,
+       ROUND(MIN(CAST(FLOOR(score * 1000) AS BIGINT)) / 1000.0, 4)
+         AS score_min,
+       ROUND(MAX(CAST(FLOOR(score * 1000) AS BIGINT)) / 1000.0, 4)
+         AS score_max,
+       ROUND(SUM(CAST(FLOOR(score * 1000) AS BIGINT)) / 1000.0
+             / COUNT(*), 4) AS score_avg,
+       MAX(retries) AS max_retries
+FROM crawldb GROUP BY status""",
+
+        "crawldb_topn": CRAWLDB_CTE + """
+SELECT url, ROUND(score, 4) AS score
+FROM crawldb ORDER BY score DESC, url ASC LIMIT 25""",
+
+        "domain_stats": CRAWLDB_CTE + """
+SELECT host, COUNT(*) AS n,
+       SUM(CASE WHEN status IN ('db_fetched', 'db_notmodified')
+                THEN 1 ELSE 0 END) AS fetched
+FROM crawldb GROUP BY host""",
+
+        "linkdb_invert": "WITH " + EDGE_SQL + """
+SELECT to_url AS url, COUNT(*) AS n_inlinks
+FROM (SELECT DISTINCT to_url, from_url, anchor FROM edges
+      WHERE from_host <> to_host)
+GROUP BY to_url""",
+
+        "webgraph_degrees": "WITH " + EDGE_SQL + """,
+e AS (SELECT DISTINCT from_url, to_url FROM edges),
+o AS (SELECT from_url AS url, COUNT(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT to_url AS url, COUNT(*) AS in_degree FROM e GROUP BY 1)
+SELECT COALESCE(o.url, i.url) AS url,
+       COALESCE(in_degree, 0) AS in_degree,
+       COALESCE(out_degree, 0) AS out_degree
+FROM o FULL OUTER JOIN i ON o.url = i.url""",
+
+        "crawldb_merge": CRAWLDB_CTE + """
+SELECT url, status,
+       CASE WHEN doc_id % 2 = 0 THEN fetch_time + 500000000
+            ELSE fetch_time END AS fetch_time,
+       CASE WHEN doc_id % 2 = 0 THEN ROUND(score + 1.0, 4)
+            ELSE ROUND(score, 4) END AS score
+FROM crawldb""",
+
+        "indexer_docs": CRAWLDB_CTE + """
+SELECT url, host, 'T' || CAST(doc_id AS VARCHAR) AS title,
+       signature AS digest,
+       ROUND(SQRT(score), 6) AS boost,
+       CAST(3000000 AS BIGINT) AS fetched_at
+FROM crawldb WHERE doc_id % 2 = 0""",
+
+        "parse_extract": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g') AS text,
+       md5(text) AS signature
+FROM documents""",
+
+        "doc_tokens": r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END
+         AS tokens_ws,
+       LEN(REGEXP_EXTRACT_ALL(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens_bpe
+FROM documents""",
+
+        "doc_quality": r"""
+WITH ft AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END
+           AS n_tokens,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS n_upper,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(the|and|of|to|is|in|that|with)\b')) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 6)
+         AS alpha_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6)
+         AS stopword_ratio,
+       ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+              + LEAST(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1)
+                      / 0.6, 1.0)
+              + (1.0 - LEAST(CAST(n_upper AS DOUBLE)
+                             / GREATEST(n_chars, 1) * 4.0, 1.0))
+              + LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1)
+                      * 5.0, 1.0)) / 4.0, 6) AS quality
+FROM ft""",
+
+        "doc_langid": r"""
+WITH c AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(the|and|of|to|is|in|that|with)\b')) AS c_en,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS c_de,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(le|la|les|et|est|une|dans|pour)\b')) AS c_fr,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(el|los|que|es|una|por|con|para)\b')) AS c_es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) <= 0 THEN 'und'
+            WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c""",
+
+        "doc_fingerprint": r"""
+SELECT doc_id,
+       md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents""",
+
+        "exact_dedup": r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(REGEXP_REPLACE(LOWER(TRIM(SUBSTRING(text, 1, 25))),
+             '\s+', ' ', 'g')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+FROM fp
+QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) > 1""",
+
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(cv, qv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(cv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims)
+WHERE rank <= 5""",
+
+        "events_hourly": """
+SELECT event_type, STRFTIME(ts, '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour""",
+    }

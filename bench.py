@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is fetch-cycle throughput (URLs/sec) over a
+derived Common-Crawl-style frontier (BASELINE.json metric), plus
+per-query wall-clock for the operator inventory. Scaling evidence
+(N vs 4N cores) is produced by scripts/scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "generate_topn", "generate_hostcap", "inject_merge",
+    "updatedb_fetch", "updatedb_linked", "dedup_mark",
+    "linkdb_invert", "webgraph_degrees", "crawldb_merge",
+    "crawldb_stats", "indexer_docs", "parse_extract",
+    "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
+    "exact_dedup", "minhash_lsh", "simhash_neardup", "ann_topk",
+    "events_hourly", "fetch_politeness",
+]
+
+
+def crawl_cycle(spark, sf: str) -> tuple[float, int]:
+    """One full generate→fetch→parse→updatedb cycle over the derived
+    frontier + pages; returns (seconds, fetched urls)."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+    from nutch_spark.operators import (fetch as fetch_op,
+                                       generate as gen_op,
+                                       parse as parse_op,
+                                       updatedb as update_op)
+
+    cfg = e.CFG.with_(generate_top_n=200_000, generate_filter=False,
+                      num_fetch_partitions=CPUS)
+    t0 = time.time()
+    db = e._crawldb(spark, sf)
+    fl = gen_op.generate(db, cfg, cur_time_ms=e.CUR_TIME_MS,
+                         gen_time_ms=e.CUR_TIME_MS)
+    d = e._docs(spark, sf)
+    pages = d.select(
+        e._url(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        "text", "lang")
+    robots = spark.createDataFrame(
+        [], "authority string, robots_txt string, fetch_code int")
+    fr = fetch_op.fetch(fl, pages, robots, None, cfg, e.CUR_TIME_MS)
+    pr = parse_op.parse_segment(fr["content"], cfg, e.CUR_TIME_MS)
+    msgs = (fr["crawl_fetch"].drop("queue_id", "virtual_time")
+            .unionByName(pr["crawl_parse"])
+            .unionByName(fr["linked"]))
+    out = update_op.updatedb(db, msgs, cfg, e.CUR_TIME_MS)
+    n_urls = fr["crawl_fetch"].count()
+    out.count()
+    return time.time() - t0, n_urls
+
+
+def main() -> None:
+    from nutch_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(app_name="nutch-spark-bench", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            df = qs[name](spark, SF_DIR)
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    cyc_sec, cyc_urls = crawl_cycle(spark, SF_DIR)
+    timings["crawl_cycle"] = round(cyc_sec, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "operator-suite wall-clock + fetch-cycle throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl_cycle_urls": cyc_urls,
+        "crawl_cycle_urls_per_sec": round(cyc_urls / max(cyc_sec, 1e-9),
+                                          1),
+        "cores": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,21 +41,20 @@ def merge_crawldbs(dbs: list[DataFrame]) -> DataFrame:
     u = u.withColumn("_lft", last_fetch_time_col())
     w = Window.partitionBy("url").orderBy(F.desc("_lft"), F.desc("_src"))
     empty_map = F.create_map().cast("map<string,string>")
-    # newest-first rank; metadata folded oldest→newest so newer wins
+    # newest-first rank; metadata unioned per key with newest winning
     ranked = u.withColumn("_rn", F.row_number().over(w))
     winner = ranked.where(F.col("_rn") == 1).drop("_rn", "_lft", "_src")
-    meta = (u.groupBy("url")
-            .agg(F.aggregate(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("_lft"), F.col("_src"),
-                             F.col("metadata").alias("m")))),
-                empty_map,
-                lambda acc, x: F.map_concat(
-                    F.map_filter(acc, lambda k, v: ~F.array_contains(
-                        F.map_keys(F.coalesce(x["m"], empty_map)), k)),
-                    F.coalesce(x["m"], empty_map))).alias("_meta")))
-    return (winner.join(meta, "url")
-            .withColumn("metadata", F.col("_meta"))
+    entries = (u.select(
+        "url", "_lft", "_src",
+        F.explode(F.coalesce("metadata", empty_map)).alias("k", "v")))
+    meta = (entries
+            .groupBy("url", "k")
+            .agg(F.max_by("v", F.struct("_lft", "_src")).alias("v"))
+            .groupBy("url")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("k", "v"))).alias("_meta")))
+    return (winner.join(meta, "url", "left")
+            .withColumn("metadata", F.coalesce("_meta", "metadata"))
             .drop("_meta"))
 
 
