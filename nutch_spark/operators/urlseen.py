@@ -105,14 +105,14 @@ def split_seen(discovered: DataFrame, bloom: DataFrame,
         if len(h64) == 0:
             return pd.Series(out)
         harr = h64.to_numpy(dtype=np.int64)
-        for key, grp in pd.DataFrame(
-                {"i": np.arange(len(h64)), "bits": bits,
-                 "k": n_hashes, "m": m_bits}).groupby(
-                     ["k", "m"], dropna=False):
+        df = pd.DataFrame({"i": np.arange(len(h64)), "bits": bits,
+                           "k": n_hashes, "m": m_bits})
+        df = df[df["bits"].notna() & df["k"].notna()]
+        # group per distinct bitset (one per bucket; bytes are
+        # hashable so the groupby is value-based)
+        for _, grp in df.groupby(df["bits"].map(bytes), dropna=False):
             rows = grp["i"].to_numpy()
             b0 = grp["bits"].iloc[0]
-            if b0 is None or pd.isna(grp["k"].iloc[0]):
-                continue  # no bloom for bucket → nothing seen
             arr = np.frombuffer(b0, dtype=np.uint8)
             k_, m_ = int(grp["k"].iloc[0]), int(grp["m"].iloc[0])
             idx = _indices(harr[rows], k_, m_)

@@ -118,11 +118,18 @@ def build_fixture(n_hosts: int = 12, pages_per_host: int = 8,
             nofollow_meta = (p == 5 and h % 4 == 1)
             noindex_meta = (p == 6 and h % 5 == 2)
             nofollow_link = links[-1][0] if (links and p % 7 == 3) else None
-            html = _page_html(
-                rng, f"Page {h} {p}", rng.randint(20, 60), links,
-                nofollow_meta=nofollow_meta, noindex_meta=noindex_meta,
-                nofollow_link=nofollow_link,
-                dup_body=dup_body if is_dup else None)
+            if is_dup:
+                # byte-identical across hosts (dup_of_pagea.html analog:
+                # same title, same body, no host-specific links) so the
+                # raw-MD5 signature collides
+                html = _page_html(
+                    random.Random(seed + 777), "Duplicate Page", 30, [],
+                    dup_body=dup_body)
+            else:
+                html = _page_html(
+                    rng, f"Page {h} {p}", rng.randint(20, 60), links,
+                    nofollow_meta=nofollow_meta, noindex_meta=noindex_meta,
+                    nofollow_link=nofollow_link)
             res = parse_html(html, url)
             pages.append({
                 "url": url,

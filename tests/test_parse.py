@@ -1,0 +1,132 @@
+"""Parse tests: DOMContentUtils-style extraction vectors
+(TestDOMContentUtils.java port), byte-identity against the fixture's
+golden text column, outlink emission + OPIC distribution."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.htmlparse import parse_html
+from nutch_spark.operators.parse import outlink_edges, parse_segment
+from nutch_spark.testdata import fixture_dfs
+
+
+# --- pure-python extraction vectors (TestDOMContentUtils.java analog) ---
+
+def test_text_collapse_and_skip():
+    html = (b"<html><head><title>My  Title</title>"
+            b"<style>.x{}</style></head><body>"
+            b"<script>var a=1;</script>"
+            b"<p>hello   world</p>\n\n<p> again </p></body></html>")
+    r = parse_html(html, "http://t/")
+    assert r.title == "My Title"
+    assert r.text == "My Title hello world again"
+
+
+def test_outlinks_resolution_and_anchor():
+    html = (b'<html><body>'
+            b'<a href="/abs.html">first link</a>'
+            b'<a href="rel.html"><img alt="picture"></a>'
+            b'<a href="http://other.test/x" rel="nofollow">no</a>'
+            b'<iframe src="frame.html"></iframe>'
+            b'</body></html>')
+    r = parse_html(html, "http://h.test/dir/page.html")
+    assert ("http://h.test/abs.html", "first link") in r.outlinks
+    assert ("http://h.test/dir/rel.html", "picture") in r.outlinks
+    assert ("http://h.test/dir/frame.html", "") in r.outlinks
+    assert not any("other.test" in u for u, _ in r.outlinks)
+
+
+def test_base_href():
+    html = (b'<html><head><base href="http://base.test/sub/"></head>'
+            b'<body><a href="x.html">x</a></body></html>')
+    r = parse_html(html, "http://page.test/")
+    assert r.outlinks == [("http://base.test/sub/x.html", "x")]
+
+
+def test_meta_robots():
+    noindex = b'<html><head><meta name="robots" content="noindex">' \
+              b'<title>T</title></head><body>body <a href="/a">a</a>' \
+              b'</body></html>'
+    r = parse_html(noindex, "http://t.test/")
+    assert r.text == "" and r.title == ""
+    assert r.outlinks  # noindex keeps links
+    nofollow = noindex.replace(b"noindex", b"nofollow")
+    r2 = parse_html(nofollow, "http://t.test/")
+    assert r2.outlinks == [] and "body" in r2.text
+
+
+def test_meta_refresh_redirect():
+    html = (b'<html><head><meta http-equiv="refresh" '
+            b'content="0;url=/new.html"></head><body>x</body></html>')
+    r = parse_html(html, "http://t.test/old.html")
+    assert r.redirect == "http://t.test/new.html"
+
+
+def test_charset_detection():
+    html = ('<html><head><meta charset="iso-8859-1"></head>'
+            '<body>caf\xe9</body></html>').encode("iso-8859-1")
+    r = parse_html(html, "http://t/")
+    assert "café" in r.text
+
+
+# --- Spark-side parse stage ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    return fixture_dfs(spark, n_hosts=6, pages_per_host=5,
+                       hot_host_pages=10)
+
+
+def _content(pages):
+    return pages.select(
+        "url", "html", "text", "lang",
+        F.lit(1_700_000_000_000).alias("fetch_time"),
+        F.lit(1.0).alias("score"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+
+
+def test_byte_identity_against_golden(spark, fixture):
+    """The per-row invariant from BASELINE.json: extracted text is
+    byte-identical to the pages table's golden text column."""
+    cfg = CrawlConfig()
+    pr = parse_segment(_content(fixture["pages"]), cfg, 0)
+    joined = (pr["parse_text"].alias("p")
+              .join(fixture["pages"].alias("g"), "url")
+              .select("url", F.col("p.text").alias("got"),
+                      F.col("g.text").alias("want")))
+    bad = joined.where(F.col("got") != F.col("want")).collect()
+    assert bad == [], bad[:3]
+
+
+def test_outlink_distribution_and_cap(spark):
+    cfg = CrawlConfig(db_max_outlinks_per_page=3)
+    links = "".join(f'<a href="/l{i}.html">l{i}</a>' for i in range(6))
+    html = f"<html><body>{links}</body></html>".encode()
+    content = _content(spark.createDataFrame(
+        [("http://d.test/", None, bytearray(html), "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"))
+    pr = parse_segment(content, cfg, 0)
+    linked = pr["crawl_parse"].where(F.col("status") == "linked").collect()
+    assert len(linked) == 3  # cap (db.max.outlinks.per.page)
+    # OPIC: parent score 1.0 / 3 links (ParseOutputFormat + OPIC)
+    assert all(abs(r.score - 1.0 / 3) < 1e-9 for r in linked)
+
+
+def test_signature_emitted(spark, fixture):
+    cfg = CrawlConfig()
+    pr = parse_segment(_content(fixture["pages"].limit(5)), cfg, 0)
+    sigs = pr["crawl_parse"].where(F.col("status") == "signature") \
+        .collect()
+    assert len(sigs) == 5
+    assert all(r.signature and len(r.signature) == 32 for r in sigs)
+
+
+def test_outlink_edges(spark, fixture):
+    cfg = CrawlConfig()
+    pr = parse_segment(_content(fixture["pages"]), cfg, 0)
+    edges = outlink_edges(pr["parse_data"])
+    assert edges.columns == ["from_url", "to_url", "anchor"]
+    assert edges.count() > 0
