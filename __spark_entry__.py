@@ -352,8 +352,9 @@ def q_fetch_politeness(spark, sf):
 def q_minhash_lsh(spark, sf):
     d = _docs(spark, sf).withColumn(
         "text", F.substring(F.col("text"), 1, 120))
-    return dedup_text.minhash_lsh(d, num_hashes=32, bands=8,
-                                  verify_threshold=0.5)
+    return dedup_text.minhash_lsh(
+        d, num_hashes=32, bands=8, verify_threshold=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism)
 
 
 def q_simhash_neardup(spark, sf):
@@ -364,7 +365,9 @@ def q_simhash_neardup(spark, sf):
 def q_ngram_jaccard(spark, sf):
     d = _docs(spark, sf).withColumn(
         "text", F.substring(F.col("text"), 1, 120))
-    return dedup_text.ngram_jaccard_pairs(d, threshold=0.3)
+    return dedup_text.ngram_jaccard_pairs(
+        d, threshold=0.3,
+        n_partitions=spark.sparkContext.defaultParallelism)
 
 
 def q_ann_lsh(spark, sf):

@@ -43,6 +43,29 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         .otherwise(F.array(_norm_text(text)))
 
 
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingle hashes as array<long> — no string
+    concatenation: per-word xxhash64 values are combined across a
+    k-wide sliding window with polynomial accumulation mod 2^31−1
+    (zip_with over shifted copies). This is the hot-path shingle
+    representation; collisions at ~2^-31 only affect near-dup
+    *candidates*, which the exact verify step re-checks."""
+    p = F.lit(_PRIME)
+    words = F.split(_norm_text(text), " ")
+    h = F.transform(words, lambda w: F.xxhash64(w))
+    n = F.size(h)
+    combined = h
+    for j in range(1, k):
+        shifted = F.slice(h, j + 1, n)
+        combined = F.zip_with(
+            combined, shifted,
+            lambda a, b: F.pmod(F.pmod(a, p) * 8191 + F.pmod(b, p), p))
+    sh = F.array_distinct(F.filter(combined,
+                                   lambda x: x.isNotNull()))
+    return F.when(n >= k, sh) \
+        .otherwise(F.array(F.xxhash64(_norm_text(text))))
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicates by normalized-text MD5: returns
@@ -61,31 +84,37 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signature(text: Column, num_hashes: int = 64,
                       k: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values via the standard
-    (a·h + b) mod p permutation family over xxhash64 shingle hashes."""
-    hashes = F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    (a·h + b) mod p permutation family over xxhash64 shingle hashes.
 
-    def perm(a, b):
-        # closure factory: Spark infers lambda arity from the Python
-        # signature, so captured constants must not be default args
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(_PRIME)) * a + b, F.lit(_PRIME))
-
-    sigs = []
-    for i in range(num_hashes):
-        sigs.append(F.array_min(F.transform(
-            hashes, perm(2 * i + 1, i * 0x9E3779B9))))
-    return F.array(*sigs)
+    Built as ONE nested expression — ``transform`` over the
+    permutation index with an inner ``array_min`` — so the codegen
+    tree stays O(1) in num_hashes and the shingle hashing runs once
+    per row (not once per permutation)."""
+    hashes = shingle_hashes(text, k)
+    p = F.lit(_PRIME)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            hashes,
+            lambda h: F.pmod(
+                F.pmod(h, p) * (i * 2 + 1) + i * 0x9E3779B9, p))))
 
 
 def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", num_hashes: int = 64,
                 bands: int = 16, k: int = 3,
-                verify_threshold: float | None = 0.7) -> DataFrame:
+                verify_threshold: float | None = 0.7,
+                n_partitions: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     Returns (id_a, id_b[, jaccard]) with id_a < id_b. With
     ``verify_threshold`` set, candidates are verified against exact
     shingle Jaccard (correctness exact; LSH only prunes candidates)."""
+    if n_partitions:
+        # per-row shingling/hashing is the dominant cost; spread it
+        # before the narrow pipeline (small parquet inputs otherwise
+        # arrive as a single partition)
+        docs = docs.repartition(n_partitions)
     r = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, k)
     with_sig = docs.select(F.col(id_col).alias("id"),
@@ -113,7 +142,7 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
     if verify_threshold is None:
         return pairs
     sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), k).alias("sh"))
+                     shingle_hashes(F.col(text_col), k).alias("sh"))
     jac = (pairs
            .join(sh.select(F.col("id").alias("id_a"),
                            F.col("sh").alias("sh_a")), "id_a")
@@ -128,24 +157,32 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
     return jac
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens: per-bit charge sum of token
-    xxhash64 values, sign → bit."""
-    tokens = F.split(_norm_text(text), " ")
-    hashes = F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
-    def charge_fn(bit):
-        return lambda a, h: a + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
+def simhash_df(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, sh): 64-bit SimHash over word tokens — per-bit charge sum
+    of token xxhash64 values, sign → bit.
 
-    acc = F.lit(0).cast("long")
-    for bit in range(64):
-        charge = F.aggregate(hashes, F.lit(0).cast("long"),
-                             charge_fn(bit))
-        acc = acc + F.when(charge > 0,
-                           F.lit(1 << bit if bit < 63 else -(1 << 63))
-                           .cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
+    Shaped as explode + one hash aggregate with 64 sum columns:
+    map-side partial aggregation does the per-bit charge sums, so the
+    shuffle carries one 64-long row per doc and there is no
+    64×|tokens| nested expression per row."""
+    tok = (docs
+           .select(F.col(id_col).alias("id"),
+                   F.explode(F.array_distinct(
+                       F.split(_norm_text(F.col(text_col)), " ")))
+                   .alias("t"))
+           .withColumn("h", F.xxhash64("t")))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                     == 1, 1).otherwise(-1)).alias(f"c{b}")
+        for b in range(64)]
+    g = tok.groupBy("id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh + F.when(F.col(f"c{b}") > 0,
+                         F.lit(1 << b if b < 63 else -(1 << 63))
+                         .cast("long")).otherwise(F.lit(0).cast("long"))
+    return g.select("id", sh.alias("sh"))
 
 
 def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
@@ -155,8 +192,7 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
     split the 64-bit hash into 4 16-bit chunks — any pair within
     Hamming 3 shares at least one chunk (pigeonhole), so the join is
     per-chunk equi, never a cross product."""
-    df = docs.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("sh"))
+    df = simhash_df(docs, id_col, text_col)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned("sh", 16 * c)
@@ -179,14 +215,17 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        block_minhashes: int = 8) -> DataFrame:
-    """Exact word n-gram Jaccard ≥ threshold, candidate-blocked by a
-    small minhash band so the pair join stays sparse."""
+                        block_minhashes: int = 8,
+                        n_partitions: int | None = None) -> DataFrame:
+    """Word n-gram Jaccard ≥ threshold over hashed shingles,
+    candidate-blocked by a small minhash band so the pair join stays
+    sparse."""
     cands = minhash_lsh(docs, id_col, text_col,
                         num_hashes=block_minhashes, bands=block_minhashes,
-                        k=n, verify_threshold=None)
+                        k=n, verify_threshold=None,
+                        n_partitions=n_partitions)
     sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), n).alias("sh"))
+                     shingle_hashes(F.col(text_col), n).alias("sh"))
     return (cands
             .join(sh.select(F.col("id").alias("id_a"),
                             F.col("sh").alias("sh_a")), "id_a")
