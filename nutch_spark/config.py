@@ -69,6 +69,10 @@ class CrawlConfig:
     db_score_link_external: float = 1.0       # db.score.link.external
     db_parsemeta_to_crawldb: tuple[str, ...] = ()
 
+    # --- scoring-depth plugin (DepthScoringFilter.java) ---
+    scoring_depth_enabled: bool = False
+    scoring_depth_max: int = 1000             # scoring.depth.max
+
     # --- signatures (TextProfileSignature.java:72-75) ---
     signature_kind: str = "md5"               # md5 | text_md5 | text_profile
     text_profile_min_token_len: int = 2

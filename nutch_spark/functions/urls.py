@@ -400,12 +400,28 @@ def spark_udfs():
     }
 
 
+def host_col(url) -> "F.Column":
+    """JVM-side host extraction (lowercased, no port) for the common
+    scheme://host/... shape — stays inside whole-stage codegen; NULL
+    when the url has no authority."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    return F.when(h != "", h)
+
+
+def queue_id_col(url) -> "F.Column":
+    """JVM-side fetch-queue key ``proto://host`` lowercased
+    (FetchItem.java:64-101, byHost mode)."""
+    c = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.regexp_extract(
+        c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    return F.when(proto != "",
+                  F.concat(proto, F.lit("://"), host_col(c)))
+
+
 def with_host(df, url_col: str = "url", out: str = "host"):
-    """JVM-side host extraction for the common scheme://host/... shape;
-    falls back to NULL for urls without an authority. Used on hot paths
-    instead of the pandas UDF (stays inside whole-stage codegen)."""
+    """JVM-side host column (see host_col). Used on hot paths instead
+    of the pandas UDF."""
     return df.withColumn(
-        out,
-        F.lower(F.regexp_extract(F.col(url_col),
-                                 r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)),
-    )
+        out, F.coalesce(host_col(url_col), F.lit("")))

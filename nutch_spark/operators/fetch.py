@@ -44,7 +44,8 @@ from pyspark.sql.functions import pandas_udf
 from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
 from ..functions.robots import join_robots
-from ..functions.urls import choose_repr, spark_udfs
+from ..functions.urls import choose_repr, host_col, queue_id_col, \
+    spark_udfs
 from ..schema import (
     FETCH_GONE, FETCH_NOTMODIFIED, FETCH_REDIR_PERM, FETCH_REDIR_TEMP,
     FETCH_RETRY, FETCH_SUCCESS, META_PROTOCOL_STATUS, META_REPR_URL,
@@ -87,7 +88,11 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
 
     fl = join_robots(fetchlist, robots, cfg.http_agent_name,
                      cfg.http_robots_403_allow)
-    fl = fl.withColumn("queue_id", udfs["queue_id"](F.col("url")))
+    if cfg.fetcher_queue_mode == "byHost":
+        # JVM expression — whole-stage codegen, no Python worker
+        fl = fl.withColumn("queue_id", queue_id_col("url"))
+    else:
+        fl = fl.withColumn("queue_id", udfs["queue_id"](F.col("url")))
 
     delay_over = (F.col("robots_delay_ms").isNotNull()
                   & (F.col("robots_delay_ms") > cfg.fetcher_max_crawl_delay_ms))
@@ -206,7 +211,7 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
                           udfs["canonicalize"](F.col("redirect_to"))))
     if cfg.ignore_external_links:
         redirs = redirs.where(
-            udfs["host"](F.col("url")) == udfs["host"](F.col("_new_url")))
+            host_col("url") == host_col("_new_url"))
     redirs = (redirs
               .where(F.col("_new_url").isNotNull()
                      & (F.col("_new_url") != F.col("url")))

@@ -125,6 +125,49 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     return df
 
 
+def free_generate(urls: DataFrame, cfg: CrawlConfig,
+                  now_ms: int, normalize: bool = True,
+                  filter_urls: bool = True) -> DataFrame:
+    """FreeGenerator (tools/FreeGenerator.java): build a fetchlist
+    directly from a URL list (column ``line``), bypassing the crawldb —
+    normalize + filter, default schedule/score, then the same salted
+    host partitioning + url-hash ordering as the main generator."""
+    udfs = spark_udfs()
+    df = (urls
+          .select(F.trim(F.col("line")).alias("url"))
+          .where((F.length("url") > 0) & ~F.col("url").startswith("#")))
+    if normalize:
+        df = df.withColumn("url", udfs["canonicalize"](F.col("url"))) \
+            .where(F.col("url").isNotNull())
+    if filter_urls:
+        df = filter_accepts_col(df, cfg.url_filter_rules, "url") \
+            .where(F.col("accepted")).drop("accepted")
+    df = df.dropDuplicates(["url"]).select(
+        "url",
+        F.lit("db_unfetched").alias("status"),
+        F.lit(now_ms).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(cfg.db_fetch_interval_default).cast("int")
+         .alias("fetch_interval"),
+        F.lit(1.0).alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    n = cfg.num_fetch_partitions
+    return (df
+            .withColumn("segnum", F.lit(1).cast("int"))
+            .withColumn("_host", udfs["host"](F.col("url")))
+            .withColumn(
+                "fetch_partition",
+                F.pmod(F.xxhash64(F.col("_host"),
+                                  F.lit(cfg.partition_seed)), n)
+                .cast("int"))
+            .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
+            .repartition(n, F.col("fetch_partition"))
+            .sortWithinPartitions("_urlhash")
+            .drop("_host", "_urlhash"))
+
+
 def update_generated(crawldb: DataFrame, fetchlist: DataFrame,
                      cfg: CrawlConfig, gen_time_ms: int) -> DataFrame:
     """generate.update.crawldb: stamp ``_ngt_`` on generated URLs so

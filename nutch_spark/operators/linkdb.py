@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import CrawlConfig
-from ..functions.urls import spark_udfs
+from ..functions.urls import host_col, spark_udfs
 
 
 def invert_links(edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -27,9 +27,10 @@ def invert_links(edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
     (url, inlinks array<struct<from_url, anchor>>)."""
     df = edges
     if cfg.db_ignore_internal_links:
-        udfs = spark_udfs()
-        df = df.where(udfs["host"](F.col("from_url"))
-                      != udfs["host"](F.col("to_url")))
+        # null host → skip, same host → skip (LinkDb.java:116-126)
+        df = df.where(host_col("from_url").isNotNull()
+                      & host_col("to_url").isNotNull()
+                      & (host_col("from_url") != host_col("to_url")))
     df = df.withColumn(
         "anchor",
         F.substring(F.coalesce(F.col("anchor"), F.lit("")), 1,

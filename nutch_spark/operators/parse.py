@@ -35,7 +35,7 @@ from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
 from ..functions.htmlparse import parse_html
 from ..functions.signatures import signature_col
-from ..functions.urls import spark_udfs
+from ..functions.urls import host_col, spark_udfs
 from ..schema import (
     META_REPR_URL, OUTLINK, STATUS_LINKED, STATUS_PARSE_META,
     STATUS_SIGNATURE,
@@ -126,7 +126,7 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
     # (ParseOutputFormat.java:227-297, OPICScoringFilter.java:122-165)
     udfs = spark_udfs()
     ol = (parsed
-          .select("url", "score", "fetch_interval",
+          .select("url", "score", "fetch_interval", "metadata",
                   F.slice(F.coalesce(F.col("_p.outlinks"),
                                      F.array().cast(f"array<struct<"
                                                     f"to_url:string,"
@@ -138,14 +138,29 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
           .where(F.col("to_url").isNotNull()
                  & (F.col("to_url") != F.col("url"))))  # self-link drop
     if cfg.ignore_external_links:
-        ol = ol.where(udfs["host"](F.col("url"))
-                      == udfs["host"](F.col("to_url")))
+        ol = ol.where(host_col("url") == host_col("to_url"))
     ol = (ol.transform(lambda d: filter_accepts_col(
               d, cfg.url_filter_rules, "to_url"))
             .where(F.col("accepted")))
-    same_host = udfs["host"](F.col("url")) == udfs["host"](F.col("to_url"))
+    same_host = host_col("url") == host_col("to_url")
     factor = F.when(same_host, F.lit(cfg.db_score_link_internal)) \
         .otherwise(F.lit(cfg.db_score_link_external))
+    # scoring-depth: child depth = parent depth + 1, hops past
+    # scoring.depth.max are dropped (DepthScoringFilter.java)
+    link_meta = F.create_map(
+        F.lit("_anchor_"),
+        F.substring(F.coalesce(F.col("link.anchor"), F.lit("")),
+                    1, cfg.db_max_anchor_length))
+    if cfg.scoring_depth_enabled:
+        depth = F.coalesce(
+            F.element_at(F.coalesce(F.col("metadata"), empty_map),
+                         "_depth_").cast("int"), F.lit(0)) + 1
+        ol = ol.withColumn("_depth", depth) \
+            .where(F.col("_depth") <= cfg.scoring_depth_max)
+        link_meta = F.map_concat(
+            link_meta,
+            F.create_map(F.lit("_depth_"),
+                         F.col("_depth").cast("string")))
     linked = ol.select(
         F.col("to_url").alias("url"),
         F.lit(STATUS_LINKED).alias("status"),
@@ -157,10 +172,7 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
          .alias("score"),
         F.lit(None).cast("string").alias("signature"),
         F.lit(0).cast("long").alias("modified_time"),
-        F.create_map(
-            F.lit("_anchor_"),
-            F.substring(F.coalesce(F.col("link.anchor"), F.lit("")),
-                        1, cfg.db_max_anchor_length)).alias("metadata"))
+        link_meta.alias("metadata"))
     crawl_parse = crawl_parse.unionByName(linked)
 
     # meta-refresh redirect → linked datum with _repr_

@@ -63,15 +63,18 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     df = messages.withColumn("_kind", kind)
 
     # inlink cap: keep top-N linked rows per url by score
-    # (InlinkPriorityQueue, CrawlDbReducer.java:57-58,326-339)
+    # (InlinkPriorityQueue, CrawlDbReducer.java:57-58,326-339).
+    # Only the linked subset pays the window sort — db/fetch/marker
+    # rows bypass it entirely (they'd otherwise drag the full message
+    # stream through an extra shuffle+sort before the groupBy).
     if cfg.db_update_max_inlinks is not None:
-        w = Window.partitionBy("url", "_kind").orderBy(F.desc("score"))
-        df = (df.withColumn(
-                "_rn",
-                F.when(F.col("_kind") == STATUS_LINKED,
-                       F.row_number().over(w)).otherwise(F.lit(1)))
-                .where(F.col("_rn") <= cfg.db_update_max_inlinks)
-                .drop("_rn"))
+        linked = df.where(F.col("_kind") == STATUS_LINKED)
+        others = df.where(F.col("_kind") != STATUS_LINKED)
+        w = Window.partitionBy("url").orderBy(F.desc("score"), "url")
+        linked = (linked.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= cfg.db_update_max_inlinks)
+                  .drop("_rn"))
+        df = others.unionByName(linked)
 
     is_db = F.col("_kind") == "db"
     is_fetch = F.col("_kind") == "fetch"
