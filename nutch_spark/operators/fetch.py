@@ -129,9 +129,14 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
                          <= round_start_ms + cfg.fetcher_timelimit_ms))
 
     # --- the "protocol GET": equi-joins on url --------------------------
+    # the pages side is the 100 TB table — never broadcast it (the
+    # hint pins a shuffle join even when size estimates drift under
+    # the autoBroadcast threshold; a broadcast build here is a serial
+    # driver-side hash build of the whole corpus slice)
     page_side = pages.select(
         "url", F.lit(True).alias("_has_page"), "html", "text", "lang",
-        (F.unix_timestamp("warc_ts") * 1000).cast("long").alias("_page_ms"))
+        (F.unix_timestamp("warc_ts") * 1000).cast("long")
+        .alias("_page_ms")).hint("shuffle_merge")
     if http_status is not None:
         st = http_status.select("url", "status_code", "redirect_to",
                                 "content_length")

@@ -118,8 +118,12 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
               "fetch_partition",
               F.pmod(F.xxhash64(F.col("_hostordomain"),
                                 F.lit(cfg.partition_seed)), n).cast("int"))
-          .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
           .repartition(n, F.col("fetch_partition"))
+          # _urlhash is computed AFTER the repartition: planning the
+          # Arrow UDF below the topN limit would split it into
+          # LocalLimit/GlobalLimit with a full range sort instead of
+          # TakeOrderedAndProject (per-partition heaps + merge)
+          .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
           .sortWithinPartitions("_urlhash")
           .drop("_sort", "_hostordomain", "_urlhash"))
     return df

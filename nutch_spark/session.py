@@ -29,7 +29,18 @@ def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+         # shuffle/spill to tmpfs when available: the container's
+         # overlay filesystem serializes concurrent shuffle writes and
+         # dominates wall-clock variance at high thread counts
+         .config("spark.local.dir",
+                 os.environ.get("SPARK_LOCAL_DIRS",
+                                "/dev/shm/spark-local"
+                                if os.path.isdir("/dev/shm") else
+                                "/tmp"))
+         # modest broadcast ceiling: small dims (robots, rules) always
+         # fit; wide page/frontier tables must never flip to broadcast
+         # on an optimistic size estimate
+         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
          .config("spark.ui.enabled", "false")
          # politeness partitions must not be coalesced mid-fetch; the
          # fetch stage repartitions explicitly and AQE keeps our

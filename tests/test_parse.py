@@ -70,6 +70,53 @@ def test_charset_detection():
     assert "café" in r.text
 
 
+def test_fast_engine_matches_stdlib_on_vectors():
+    cases = [
+        b"<html><head><title>My  Title</title><style>.x{}</style></head>"
+        b"<body><script>var a=1;</script><p>hello   world</p>\n\n"
+        b"<p> again </p></body></html>",
+        b'<html><body><a href="/abs.html">first link</a>'
+        b'<a href="rel.html"><img alt="picture"></a>'
+        b'<a href="http://other.test/x" rel="nofollow">no</a>'
+        b'<iframe src="frame.html"></iframe></body></html>',
+        b'<html><head><base href="http://base.test/sub/"></head>'
+        b'<body><a href="x.html">x</a></body></html>',
+        b'<html><head><meta name="robots" content="noindex,nofollow">'
+        b'<title>T</title></head><body>body <a href="/a">a</a></body>',
+        b'<html><head><meta http-equiv="refresh" '
+        b'content="0;url=/new.html"></head><body>x</body></html>',
+        b"<p>a &amp; b &lt;tag&gt; &#65;</p>",
+        b"<a href='/q?x=1&amp;y=2'>q</a>",
+        b"<!-- comment <a href='/no'>x</a> --><p>kept</p>",
+        b"<script><a href='/never'>t</a></script><p>after</p>",
+        b"<div><a href=/unquoted>u</a><br/><input disabled></div>",
+        b"<a href='/outer'>one <a href='/inner'>two</a></a>",
+        b"",
+    ]
+    for html in cases:
+        fast = parse_html(html, "http://t.test/d/p.html", engine="fast")
+        slow = parse_html(html, "http://t.test/d/p.html",
+                          engine="stdlib")
+        assert (fast.text, fast.title, fast.outlinks, fast.redirect) \
+            == (slow.text, slow.title, slow.outlinks, slow.redirect), html
+
+
+def test_fast_engine_matches_stdlib_on_corpus():
+    """Differential gate over the whole deterministic fixture corpus —
+    the fast tokenizer must be event-equivalent to html.parser."""
+    from nutch_spark.testdata import build_fixture
+    pages = build_fixture(n_hosts=10, pages_per_host=6,
+                          hot_host_pages=20)["pages"]
+    for _, row in pages.iterrows():
+        fast = parse_html(bytes(row["html"]), row["url"], engine="fast")
+        slow = parse_html(bytes(row["html"]), row["url"],
+                          engine="stdlib")
+        assert (fast.text, fast.title, fast.outlinks, fast.redirect,
+                fast.noindex, fast.nofollow) \
+            == (slow.text, slow.title, slow.outlinks, slow.redirect,
+                slow.noindex, slow.nofollow), row["url"]
+
+
 # --- Spark-side parse stage ---------------------------------------------
 
 @pytest.fixture(scope="module")
