@@ -527,8 +527,8 @@ FROM crawldb ORDER BY score DESC, url ASC LIMIT 25""",
 
         "domain_stats": CRAWLDB_CTE + """
 SELECT host, COUNT(*) AS n,
-       SUM(CASE WHEN status IN ('db_fetched', 'db_notmodified')
-                THEN 1 ELSE 0 END) AS fetched
+       CAST(SUM(CASE WHEN status IN ('db_fetched', 'db_notmodified')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fetched
 FROM crawldb GROUP BY host""",
 
         "linkdb_invert": "WITH " + EDGE_SQL + """

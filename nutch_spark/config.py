@@ -34,6 +34,9 @@ class CrawlConfig:
     crawl_gen_delay_ms: int = 7 * SECONDS_PER_DAY * 1000  # crawl.gen.delay
     generate_max_num_segments: int = 1
     generate_update_crawldb: bool = False     # stamp _ngt_ back into crawldb
+    # topN above this switches from TakeOrderedAndProject (one merge
+    # task holds N rows) to distributed threshold selection (ours)
+    generate_topn_distributed_min: int = 100_000
 
     # --- fetcher (Fetcher.java / FetchItemQueue.java / nutch-default.xml) ---
     fetcher_server_delay_ms: int = 5000       # fetcher.server.delay (5.0 s)
@@ -82,6 +85,11 @@ class CrawlConfig:
     num_fetch_partitions: int = 32            # politeness units per round
     shuffle_partitions: int = 32
     partition_seed: int = 0                   # salt for host partitioning
+    # storage level for the within-round fetch/parse intermediates
+    # (these frames carry page bytes for the whole round: keep
+    # MEMORY_AND_DISK for small rounds, set DISK_ONLY at production
+    # round sizes so html/text never occupies executor heap)
+    page_cache_storage: str = "MEMORY_AND_DISK"
 
     # --- url filter rules: (sign, regex) first-match-wins;
     # defaults mirror conf/regex-urlfilter.txt.template:25-37 ---

@@ -22,6 +22,9 @@ product.
 
 from __future__ import annotations
 
+from itertools import combinations
+from math import comb
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _PRIME = (1 << 31) - 1  # Mersenne prime; 31-bit keeps a·h+b in int64
@@ -104,12 +107,19 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", num_hashes: int = 64,
                 bands: int = 16, k: int = 3,
                 verify_threshold: float | None = 0.7,
-                n_partitions: int | None = None) -> DataFrame:
+                n_partitions: int | None = None,
+                max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     Returns (id_a, id_b[, jaccard]) with id_a < id_b. With
     ``verify_threshold`` set, candidates are verified against exact
-    shingle Jaccard (correctness exact; LSH only prunes candidates)."""
+    shingle Jaccard (correctness exact; LSH only prunes candidates).
+
+    ``max_bucket_size`` (scale knob): boilerplate docs that share a
+    band key make the per-bucket self-join quadratic; buckets larger
+    than the cap are dropped (their members still pair up through
+    their other bands unless they are near-identical across all bands,
+    i.e. an exact-dup-sized cluster). Default None = exact recall."""
     if n_partitions:
         # per-row shingling/hashing is the dominant cost; spread it
         # before the narrow pipeline (small parquet inputs otherwise
@@ -132,6 +142,10 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
               .select("id", F.explode(band_arr).alias("bk"))
               .select("id", F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key")))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "key")
+        banded = (banded.withColumn("_bn", F.count("*").over(wb))
+                  .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (left.join(right, ["band", "key"])
@@ -185,24 +199,85 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
     return g.select("id", sh.alias("sh"))
 
 
+def _simhash_plan(max_hamming: int,
+                  max_tables: int = 64) -> tuple[int, int]:
+    """Pick (c, m) for generalized multi-index blocking: split the
+    64-bit hash into ``c`` blocks and key each of the C(c, m) tables on
+    an m-block combination. Pigeonhole: a pair within Hamming
+    ``max_hamming`` agrees on ≥ c−max_hamming blocks, so with
+    m ≤ c−max_hamming every such pair shares at least one table key —
+    recall is exact for any radius (the round-1 fixed 4×16-bit split
+    silently lost recall for max_hamming > 3).
+
+    Wider keys (more bits per table key) bound per-bucket population at
+    scale — the round-1 16-bit key space (65k buckets) puts ~15k docs
+    per bucket at 10⁹ docs. Preference: smallest table count whose key
+    reaches ≥24 bits; if the radius is too large for that, the widest
+    key within the table budget."""
+    best = None        # (reaches_24, key_bits or -tables, c, m)
+    for c in range(max_hamming + 1, 17):
+        m = c - max_hamming
+        t = comb(c, m)
+        if t > max_tables:
+            continue
+        key_bits = (64 // c) * m
+        cand = ((1, -t, key_bits) if key_bits >= 24
+                else (0, key_bits, -t), c, m)
+        if best is None or cand[0] > best[0]:
+            best = cand
+    if best is None:                       # radius ≥ 16: block-per-bit
+        return max_hamming + 1, 1
+    return best[1], best[2]
+
+
 def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Blocking:
-    split the 64-bit hash into 4 16-bit chunks — any pair within
-    Hamming 3 shares at least one chunk (pigeonhole), so the join is
-    per-chunk equi, never a cross product."""
+                    max_hamming: int = 3,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking is generalized multi-index (see ``_simhash_plan``): the
+    hash is split into c blocks and each of C(c, m) tables is keyed by
+    the hash-combined value of m blocks, guaranteeing every qualifying
+    pair collides in ≥1 table while keeping per-bucket population
+    bounded (key width ≥24 bits where the radius permits). The join is
+    per-(table, key) equi — never a cross product — and the exact
+    ``bit_count`` filter re-checks every candidate, so blocking affects
+    only cost, not precision.
+
+    ``max_bucket_size`` (scale knob): drop buckets with more members —
+    a boilerplate cluster sharing a block key makes per-bucket pairs
+    quadratic; capping trades recall on >cap-sized duplicate clusters
+    (which exact-dedup or a shorter radius should own) for bounded
+    work. Default None preserves exact recall."""
+    c, m = _simhash_plan(max_hamming)
+    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
+    offs = [sum(widths[:i]) for i in range(c)]
+
+    def block(i: int) -> Column:
+        masked = F.shiftrightunsigned("sh", offs[i]) \
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return masked
+
+    # key = hash-combine of the table's m block values (no overflow,
+    # uniform; collisions only add candidates, which the exact filter
+    # removes)
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 F.xxhash64(F.lit(t), *[block(i) for i in combo])
+                  .alias("key"))
+        for t, combo in enumerate(combinations(range(c), m))])
+
     df = simhash_df(docs, id_col, text_col)
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftrightunsigned("sh", 16 * c)
-                  .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-        for c in range(4)])
-    blocked = (df.select("id", "sh", F.explode(chunks).alias("ck"))
-               .select("id", "sh", F.col("ck.chunk").alias("chunk"),
-                       F.col("ck.key").alias("key")))
+    blocked = (df.select("id", "sh", F.explode(tables).alias("tk"))
+               .select("id", "sh", F.col("tk.table").alias("table"),
+                       F.col("tk.key").alias("key")))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("table", "key")
+        blocked = (blocked.withColumn("_bn", F.count("*").over(w))
+                   .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (a.join(b, ["chunk", "key"])
+    return (a.join(b, ["table", "key"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),

@@ -180,7 +180,11 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
               .withColumn("_pst", pst)
               .withColumn("_fstatus", fetch_status)
               .withColumn("_out_meta", out_meta))
-    result.cache()
+    # shared by the three output projections; the frame carries page
+    # bytes, so the level is configurable (DISK_ONLY at production
+    # round sizes keeps html off the executor heap)
+    from pyspark import StorageLevel
+    result.persist(getattr(StorageLevel, cfg.page_cache_storage))
 
     crawl_fetch = result.select(
         "url",

@@ -93,11 +93,20 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
                 .where(F.col("_rn") < cfg.generate_max_count)
                 .drop("_rn"))
 
-    # global topN (Generator.java:248-255); TakeOrderedAndProject keeps
-    # this distributed (per-partition heap + merge), no global sort
+    # global topN (Generator.java:248-255). Small N: Take­Ordered­And­
+    # Project (per-partition heaps + single merge task). Large N: a
+    # single task holding the whole top-N (GBs at bin/crawl sizing,
+    # 50k×numSlaves) is the bottleneck, so switch to threshold
+    # selection — downstream only needs the top-N *set* (the fetchlist
+    # is re-partitioned by host and re-sorted by url-hash below), so
+    # no global order is ever materialized.
     if cfg.generate_top_n and cfg.generate_top_n > 0:
-        df = df.orderBy(F.desc("_sort"), F.asc("url")) \
-            .limit(cfg.generate_top_n)
+        if cfg.generate_top_n <= cfg.generate_topn_distributed_min:
+            df = df.orderBy(F.desc("_sort"), F.asc("url")) \
+                .limit(cfg.generate_top_n)
+        else:
+            df = _top_n_by_threshold(df, cfg.generate_top_n,
+                                     "_sort", "url")
 
     # stamp _ngt_ into the fetchlist rows (Generator.java:228)
     df = df.withColumn(
@@ -127,6 +136,39 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
           .sortWithinPartitions("_urlhash")
           .drop("_sort", "_hostordomain", "_urlhash"))
     return df
+
+
+def _top_n_by_threshold(df: DataFrame, n: int, score_col: str,
+                        tie_col: str, rel_err: float = 0.001) -> DataFrame:
+    """Exact top-N *set* by (score desc, tie asc) without any single
+    task materializing N rows.
+
+    Two-pass threshold selection (the distributed analog of the
+    reference's per-reducer ``topN/numReduce`` budget,
+    Generator.java:136-137): approx-quantile finds a score cutoff t;
+    all rows with score > t are kept in place (never sorted or moved
+    to one task); only the boundary tie group score == t — measure-zero
+    for continuous OPIC scores — pays a TakeOrdered for the remaining
+    slots. If the quantile estimate overshoots (> n strict-above rows),
+    recurse into that strictly smaller subset. Driver traffic is a few
+    scalar counts/quantiles per iteration."""
+    cnt = df.count()
+    if cnt <= n:
+        return df
+    above = df
+    while True:
+        frac = max(0.0, 1.0 - n / cnt)
+        [t] = df.approxQuantile(score_col, [frac], rel_err)
+        above = df.where(F.col(score_col) > t)
+        a = above.count()
+        if a <= n:
+            break
+        df, cnt = above, a   # overshoot: shrink into strict-above
+    if n - a > 0:
+        ties = (df.where(F.col(score_col) == t)
+                .orderBy(F.asc(tie_col)).limit(n - a))
+        return above.unionByName(ties)
+    return above
 
 
 def free_generate(urls: DataFrame, cfg: CrawlConfig,

@@ -16,7 +16,7 @@ db.max.inlinks). One shuffle on to_url with partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import CrawlConfig
 from ..functions.urls import host_col, spark_udfs
@@ -35,12 +35,32 @@ def invert_links(edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
         "anchor",
         F.substring(F.coalesce(F.col("anchor"), F.lit("")), 1,
                     cfg.db_max_anchor_length))
-    return (df
-            .groupBy(F.col("to_url").alias("url"))
-            .agg(F.slice(
-                F.sort_array(F.collect_set(
-                    F.struct(F.col("from_url"), F.col("anchor")))),
-                1, cfg.db_max_inlinks).alias("inlinks")))
+    return _capped_inlinks(
+        df.select(F.col("to_url").alias("url"), "from_url", "anchor"),
+        cfg.db_max_inlinks)
+
+
+def _capped_inlinks(rows: DataFrame, cap: int) -> DataFrame:
+    """(url, from_url, anchor) rows → (url, inlinks array) with set
+    semantics and the db.max.inlinks cap applied BEFORE aggregation.
+
+    The cap must run before ``collect_set``: a viral page with 10⁸
+    inlinks would otherwise materialize the full set in one in-memory
+    aggregation buffer (OOM at scale) before being sliced. The window
+    sort is spillable, so the pre-cap bounds the collect buffer at
+    ``cap`` structs — the same bounded-queue semantics as the
+    reference's reduce-side cap (LinkDb.java:147-153,
+    LinkDbMerger.java:73-95). Keeps the N smallest (from_url, anchor)
+    pairs, identical to the previous sort+slice output. The window and
+    the groupBy share the url hash-partitioning, so only the
+    dropDuplicates adds a shuffle."""
+    df = rows.dropDuplicates(["url", "from_url", "anchor"])
+    w = Window.partitionBy("url").orderBy("from_url", "anchor")
+    df = (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap).drop("_rn"))
+    return df.groupBy("url").agg(
+        F.sort_array(F.collect_list(F.struct("from_url", "anchor")))
+        .alias("inlinks"))
 
 
 def merge_linkdbs(dbs: list[DataFrame], cfg: CrawlConfig) -> DataFrame:
@@ -49,11 +69,11 @@ def merge_linkdbs(dbs: list[DataFrame], cfg: CrawlConfig) -> DataFrame:
     u = dbs[0]
     for d in dbs[1:]:
         u = u.unionByName(d)
-    return (u
-            .select("url", F.explode("inlinks").alias("l"))
-            .groupBy("url")
-            .agg(F.slice(F.sort_array(F.collect_set("l")), 1,
-                         cfg.db_max_inlinks).alias("inlinks")))
+    return _capped_inlinks(
+        u.select("url", F.explode("inlinks").alias("l"))
+         .select("url", F.col("l.from_url").alias("from_url"),
+                 F.col("l.anchor").alias("anchor")),
+        cfg.db_max_inlinks)
 
 
 def webgraph(edges: DataFrame, scores: DataFrame | None,

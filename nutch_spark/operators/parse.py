@@ -85,7 +85,10 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
                                 F.col("url"),
                                 min_token_len=cfg.text_profile_min_token_len,
                                 quant_rate=cfg.text_profile_quant_rate)))
-    parsed.cache()
+    # carries html+text for the round — level configurable, see
+    # CrawlConfig.page_cache_storage
+    from pyspark import StorageLevel
+    parsed.persist(getattr(StorageLevel, cfg.page_cache_storage))
 
     parse_text = parsed.select("url", F.col("_p.text").alias("text"))
     parse_data = parsed.select(
@@ -176,7 +179,10 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
     crawl_parse = crawl_parse.unionByName(linked)
 
     # meta-refresh redirect → linked datum with _repr_
-    # (ParseOutputFormat.java:196-216, HtmlParser.java:225-229)
+    # (ParseOutputFormat.java:196-216, HtmlParser.java:225-229);
+    # representative chosen via URLUtil.chooseRepr with temp=false —
+    # meta-refresh is a permanent move, same as the fetch redirect path
+    from .fetch import _choose_repr_udf
     redir = (parsed
              .where(F.col("_p.redirect").isNotNull())
              .withColumn("_new", udfs["canonicalize"](F.col("_p.redirect")))
@@ -191,7 +197,11 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
         F.col("score"),
         F.lit(None).cast("string").alias("signature"),
         F.lit(0).cast("long").alias("modified_time"),
-        F.create_map(F.lit(META_REPR_URL), F.col("url")).alias("metadata"))
+        F.create_map(
+            F.lit(META_REPR_URL),
+            _choose_repr_udf()(F.col("url"), F.col("_new"),
+                               F.lit(False).cast("boolean")))
+        .alias("metadata"))
     crawl_parse = crawl_parse.unionByName(redir_rows)
 
     return {"parse_text": parse_text, "parse_data": parse_data,

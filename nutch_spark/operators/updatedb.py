@@ -70,7 +70,12 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     if cfg.db_update_max_inlinks is not None:
         linked = df.where(F.col("_kind") == STATUS_LINKED)
         others = df.where(F.col("_kind") != STATUS_LINKED)
-        w = Window.partitionBy("url").orderBy(F.desc("score"), "url")
+        # deterministic tie-break: score desc, then newest fetch_time,
+        # then signature/modified_time — the partition key itself is
+        # constant within the window and cannot break ties
+        w = Window.partitionBy("url").orderBy(
+            F.desc("score"), F.desc("fetch_time"),
+            F.asc("modified_time"), F.asc_nulls_last("signature"))
         linked = (linked.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= cfg.db_update_max_inlinks)
                   .drop("_rn"))

@@ -12,18 +12,23 @@ canonicalized-URL hash**:
   Arrow batch (``applyInPandas``, vectorized numpy double-hashing:
   index_i = (h1 + i·h2) mod m). One row per bucket:
   ``(bucket, bits binary, n_items, n_hashes, m_bits)``.
-- ``split_seen``: discovered urls are bucketed the same way, joined
-  against the bloom table **on bucket** (co-partitioned shuffle join —
-  never a broadcast of the full frontier), membership-tested in a
-  vectorized UDF. Bloom misses are *definitely new* and skip the exact
-  join entirely; bloom hits (incl. false positives at ~fpp) go through
-  the exact ``left_anti`` join against the frontier. Correctness stays
-  exact — the bloom only prunes.
+- ``split_seen``: discovered urls are bucketed the same way and
+  **cogrouped** with the bloom table on bucket
+  (``groupBy(bucket).cogroup(...).applyInPandas``): each task sees a
+  bucket's bitset exactly ONCE next to all of that bucket's discovered
+  urls — never replicated per row (a plain join would copy the
+  ~MB bitset into every joined row before the UDF). Bloom misses are
+  *definitely new* and skip the exact join entirely; bloom hits (incl.
+  false positives at ~fpp) go through the exact ``left_anti`` join
+  against the frontier. Correctness stays exact — the bloom only
+  prunes.
 
 Blooms are rebuilt (or incrementally OR-ed) per round and persisted
 alongside the crawldb snapshot; at 10^10 urls with 10 bits/url the
-layer is ~12 GB total, spread over n_buckets rows that co-partition
-with the url-hash-bucketed Iceberg table.
+layer is ~12 GB total. ``n_buckets`` defaults to scaling with the url
+count so one bucket's bitset stays ≤ ~4 MB (12 GB total → ~3000
+buckets), and the chosen value is carried in the bloom table itself so
+readers always bucket consistently.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StructField, StructType,
+    BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 BLOOM_SCHEMA = StructType([
@@ -43,7 +49,11 @@ BLOOM_SCHEMA = StructType([
     StructField("n_items", LongType(), False),
     StructField("n_hashes", IntegerType(), False),
     StructField("m_bits", LongType(), False),
+    StructField("n_buckets", IntegerType(), False),
 ])
+
+# one bucket's bitset stays under this many bytes by default
+_TARGET_BUCKET_BYTES = 4 << 20
 
 _MASK = (1 << 64) - 1
 
@@ -65,13 +75,21 @@ def _indices(h64: np.ndarray, k: int, m: int) -> np.ndarray:
 
 
 def build_bloom(urls: DataFrame, url_col: str = "url",
-                n_buckets: int = 64, bits_per_item: int = 10,
+                n_buckets: int | None = 64, bits_per_item: int = 10,
                 min_bits: int = 1 << 12) -> DataFrame:
     """Per-bucket bloom filters over the url set. Returns BLOOM_SCHEMA
-    rows (one per non-empty bucket)."""
+    rows (one per non-empty bucket). ``n_buckets=None`` sizes the
+    bucket count from the url count so each bucket's bitset stays
+    ≤ ~4 MB (a frontier 100× larger simply gets 100× more buckets —
+    per-task memory is constant)."""
+    if n_buckets is None:
+        n = urls.count()
+        n_buckets = max(64, math.ceil(
+            n * bits_per_item / 8 / _TARGET_BUCKET_BYTES))
     k = max(1, int(round(bits_per_item * math.log(2))))  # optimal k
     hashed = _hash_cols(urls.select(url_col), url_col, n_buckets) \
         .select("_bucket", "_h64")
+    nb = int(n_buckets)
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf["_h64"].to_numpy(dtype=np.int64)
@@ -84,68 +102,75 @@ def build_bloom(urls: DataFrame, url_col: str = "url",
         return pd.DataFrame({
             "bucket": [int(pdf["_bucket"].iloc[0])],
             "bits": [bits.tobytes()],
-            "n_items": [n], "n_hashes": [k], "m_bits": [m]})
+            "n_items": [n], "n_hashes": [k], "m_bits": [m],
+            "n_buckets": [nb]})
 
     return hashed.groupBy("_bucket").applyInPandas(make, BLOOM_SCHEMA)
 
 
+def maybe_seen_urls(discovered: DataFrame, bloom: DataFrame,
+                    url_col: str = "url",
+                    n_buckets: int | None = None) -> DataFrame:
+    """Urls of ``discovered`` the bloom layer cannot rule out
+    (true seen + ~fpp false positives), one column ``url_col``.
+
+    Cogrouped on bucket: the task for a bucket receives that bucket's
+    bitset exactly once beside its urls — bitsets are never replicated
+    per discovered row (the round-1 join shape copied each ~MB bitset
+    into every joined row before the membership UDF)."""
+    if n_buckets is None:
+        n_buckets = int(bloom.select(F.max("n_buckets")).first()[0])
+
+    hashed = _hash_cols(discovered.select(F.col(url_col).alias("_u")),
+                        "_u", n_buckets).select("_u", "_h64", "_bucket")
+    out_schema = StructType([StructField(url_col, StringType(), True)])
+    empty = pd.DataFrame({url_col: pd.Series([], dtype=object)})
+
+    def test(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        arr = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        k = int(right["n_hashes"].iloc[0])
+        m = int(right["m_bits"].iloc[0])
+        h = left["_h64"].to_numpy(dtype=np.int64)
+        idx = _indices(h, k, m)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            hit &= (arr[idx[j] >> 3] >> (idx[j] & 7) & 1).astype(bool)
+        return pd.DataFrame({url_col: left.loc[hit, "_u"].to_numpy()})
+
+    return (hashed.groupBy("_bucket")
+            .cogroup(bloom.groupBy("bucket"))
+            .applyInPandas(test, out_schema))
+
+
 def split_seen(discovered: DataFrame, bloom: DataFrame,
                url_col: str = "url",
-               n_buckets: int = 64) -> tuple[DataFrame, DataFrame]:
+               n_buckets: int | None = None
+               ) -> tuple[DataFrame, DataFrame]:
     """Partition discovered urls into (definitely_new, maybe_seen) via
     the bloom layer. ``maybe_seen`` still needs the exact anti-join;
     ``definitely_new`` does not."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    @pandas_udf(BooleanType())
-    def member(h64: pd.Series, bits: pd.Series, n_hashes: pd.Series,
-               m_bits: pd.Series) -> pd.Series:
-        out = np.zeros(len(h64), dtype=bool)
-        if len(h64) == 0:
-            return pd.Series(out)
-        harr = h64.to_numpy(dtype=np.int64)
-        df = pd.DataFrame({"i": np.arange(len(h64)), "bits": bits,
-                           "k": n_hashes, "m": m_bits})
-        df = df[df["bits"].notna() & df["k"].notna()]
-        # group per distinct bitset (one per bucket; bytes are
-        # hashable so the groupby is value-based)
-        for _, grp in df.groupby(df["bits"].map(bytes), dropna=False):
-            rows = grp["i"].to_numpy()
-            b0 = grp["bits"].iloc[0]
-            arr = np.frombuffer(b0, dtype=np.uint8)
-            k_, m_ = int(grp["k"].iloc[0]), int(grp["m"].iloc[0])
-            idx = _indices(harr[rows], k_, m_)
-            hit = np.ones(len(rows), dtype=bool)
-            for j in range(k_):
-                hit &= (arr[idx[j] >> 3] >> (idx[j] & 7) & 1).astype(bool)
-            out[rows] = hit
-        return pd.Series(out)
-
-    hashed = _hash_cols(discovered, url_col, n_buckets)
-    joined = hashed.join(bloom, hashed["_bucket"] == bloom["bucket"],
-                         "left")
-    tested = joined.withColumn(
-        "_maybe",
-        F.when(F.col("bits").isNull(), F.lit(False))
-         .otherwise(member(F.col("_h64"), F.col("bits"),
-                           F.col("n_hashes"), F.col("m_bits"))))
-    keep = [c for c in discovered.columns]
-    new = tested.where(~F.col("_maybe")).select(*keep)
-    maybe = tested.where(F.col("_maybe")).select(*keep)
+    maybe_urls = maybe_seen_urls(discovered, bloom, url_col, n_buckets)
+    new = discovered.join(maybe_urls, url_col, "left_anti")
+    maybe = discovered.join(maybe_urls, url_col, "left_semi")
     return new, maybe
 
 
 def filter_unseen(discovered: DataFrame, frontier_urls: DataFrame,
                   bloom: DataFrame | None, url_col: str = "url",
-                  n_buckets: int = 64) -> DataFrame:
+                  n_buckets: int | None = None) -> DataFrame:
     """Exact unseen-filter with bloom pre-pruning: rows of
-    ``discovered`` whose url is NOT in the frontier. The exact
-    ``left_anti`` join runs only over bloom hits."""
+    ``discovered`` whose url is NOT in the frontier. The exact check
+    against the frontier runs only over bloom hits: the maybe-seen url
+    set (tiny — true dups + ~fpp of new) is first confirmed against
+    the frontier, then anti-joined back; the 10¹⁰-row frontier is
+    touched only by the slim semi-join side, which Iceberg url-hash
+    bucketing turns into a storage-partitioned join."""
     if bloom is None:
         return discovered.join(frontier_urls.select(url_col), url_col,
                                "left_anti")
-    new, maybe = split_seen(discovered, bloom, url_col, n_buckets)
-    checked = maybe.join(frontier_urls.select(url_col), url_col,
-                         "left_anti")
-    return new.unionByName(checked)
+    maybe_urls = maybe_seen_urls(discovered, bloom, url_col, n_buckets)
+    actually_seen = maybe_urls.join(frontier_urls.select(url_col),
+                                    url_col, "left_semi")
+    return discovered.join(actually_seen, url_col, "left_anti")
