@@ -43,6 +43,10 @@ class CrawlConfig:
     fetcher_max_crawl_delay_ms: int = 30000   # fetcher.max.crawl.delay (30 s)
     fetcher_timelimit_ms: int = -1            # fetcher.timelimit.mins (off)
     fetcher_queue_mode: str = "byHost"        # byHost | byDomain
+    # fetcher.max.exceptions.per.queue (-1 = unlimited): after this
+    # many protocol exceptions in one queue, the queue's remaining
+    # items are purged for the round (FetchItemQueues.java:181-201)
+    fetcher_max_exceptions_per_queue: int = -1
     http_redirect_max: int = 0                # http.redirect.max
     http_robots_403_allow: bool = True        # http.robots.403.allow
     http_agent_name: str = "nutch-spark"      # http.agent.name
@@ -53,7 +57,9 @@ class CrawlConfig:
     db_update_max_inlinks: int = 10000        # db.update.max.inlinks
     db_update_additions_allowed: bool = True  # db.update.additions.allowed
     db_update_purge_404: bool = False         # db.update.purge.404
-    fetch_schedule: str = "default"           # default | adaptive
+    db_update_normalize: bool = False         # crawldb.url.normalizers
+    db_update_filter: bool = False            # crawldb.url.filters
+    fetch_schedule: str = "default"   # default | adaptive | mime_adaptive
 
     # --- adaptive schedule (AdaptiveFetchSchedule.java:81-93) ---
     adaptive_inc_rate: float = 0.2
@@ -62,6 +68,13 @@ class CrawlConfig:
     adaptive_max_interval: float = float(SECONDS_PER_DAY) * 365
     adaptive_sync_delta: bool = True
     adaptive_sync_delta_rate: float = 0.2
+    # mime_adaptive per-MIME (inc, dec) overrides, defaults mirroring
+    # conf/adaptive-mimetypes.txt (MimeAdaptiveFetchSchedule.java)
+    mime_rates: tuple[tuple[str, float, float], ...] = (
+        ("text/html", 0.2, 0.2),
+        ("application/xhtml+xml", 0.2, 0.2),
+        ("application/pdf", 0.1, 0.4),
+    )
 
     # --- parse (ParseOutputFormat.java / nutch-default.xml:619) ---
     db_max_outlinks_per_page: int = 100
@@ -85,11 +98,18 @@ class CrawlConfig:
     num_fetch_partitions: int = 32            # politeness units per round
     shuffle_partitions: int = 32
     partition_seed: int = 0                   # salt for host partitioning
-    # storage level for the within-round fetch/parse intermediates
-    # (these frames carry page bytes for the whole round: keep
-    # MEMORY_AND_DISK for small rounds, set DISK_ONLY at production
-    # round sizes so html/text never occupies executor heap)
+    # storage level for the within-round fetch/parse intermediates:
+    # MEMORY_AND_DISK for small rounds, DISK_ONLY to keep html off the
+    # executor heap, or NONE to skip the reuse cache entirely — each
+    # output then recomputes its (column-pruned) plan, which trades a
+    # little CPU for much less memory traffic and scales better on
+    # bandwidth-bound hosts (see BENCH.md hardware canaries)
     page_cache_storage: str = "MEMORY_AND_DISK"
+    # storage level for the parse-output reuse cache (slim: no page
+    # bytes — url + parsed struct + signature). Unlike the fetch-side
+    # cache this one guards the expensive Arrow parse UDF from being
+    # re-run per output, so keep it on unless outputs are consumed once
+    parse_cache_storage: str = "MEMORY_AND_DISK"
 
     # --- url filter rules: (sign, regex) first-match-wins;
     # defaults mirror conf/regex-urlfilter.txt.template:25-37 ---

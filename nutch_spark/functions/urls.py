@@ -228,21 +228,11 @@ def canonicalize(url: str) -> str | None:
 # Host / domain / queue id
 # ---------------------------------------------------------------------------
 
-# Compact public-suffix table (multi-label suffixes that matter for
-# grouping; single-label TLDs are handled by the fallback). Production
-# deployments should load the full public-suffix list — the reference
-# ships its own copy as conf/domain-suffixes.xml (URLUtil.java:94-114).
-_MULTI_SUFFIXES = frozenset({
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.nz", "net.nz", "org.nz",
-    "co.za", "org.za", "com.mx", "com.ar", "com.tr",
-    "com.tw", "com.sg", "com.hk", "com.my",
-})
+# Full effective-TLD table (2,675 entries: IANA TLDs + registrar-managed
+# public suffixes), the same data set the reference loads from
+# conf/domain-suffixes.xml via DomainSuffixesReader — every entry is a
+# member regardless of status, matching DomainSuffixes.isDomainSuffix.
+from ._domain_suffixes import DOMAIN_SUFFIXES as _SUFFIXES
 
 _IP_RE = re.compile(r"^(\d{1,3}\.){3}\d{1,3}$")
 
@@ -265,20 +255,51 @@ def get_domain(url_or_host: str) -> str | None:
         host = url_or_host.lower()
     if host is None:
         return None
-    host = host.rstrip(".")
+    if host.endswith("."):
+        host = host[:-1]
     if _IP_RE.match(host):
         return host
-    parts = host.split(".")
-    if len(parts) <= 2:
-        return host
-    # walk from shortest suffix: find first candidate whose remainder
-    # after stripping the leading label is a domain suffix
-    for i in range(len(parts) - 1):
-        candidate = ".".join(parts[i:])
-        sub = ".".join(parts[i + 1:])
-        if sub in _MULTI_SUFFIXES or len(parts) - i == 2:
+    # exact URLUtil.getDomainName walk: strip leading labels until the
+    # remainder (candidate minus its first label) is a known suffix —
+    # then the candidate is the registered domain. When no dot remains,
+    # Java's substring(indexOf('.')+1) == substring(0) re-tests the
+    # whole candidate, so a bare known TLD returns itself ("com"→"com")
+    # and an unknown last label falls out as-is ("…com.nn"→"nn").
+    candidate = host
+    while True:
+        idx = candidate.find(".")
+        sub = candidate[idx + 1:]
+        if sub in _SUFFIXES:
             return candidate
-    return host
+        candidate = sub
+        if idx < 0:
+            return candidate
+
+
+def get_domain_suffix(url_or_host: str) -> str | None:
+    """The matched public suffix itself (URLUtil.getDomainSuffix,
+    URLUtil.java:119-139): first candidate-minus-leading-label that is
+    a known suffix, walking left to right; IPs and unknown tails yield
+    None. ``http://com`` yields ``com`` (the no-dot re-test)."""
+    if "://" in url_or_host or url_or_host.startswith(("http:", "ftp:")):
+        host = get_host(url_or_host)
+    else:
+        host = url_or_host.lower()
+    if host is None:
+        return None
+    if host.endswith("."):
+        host = host[:-1]
+    if _IP_RE.match(host):
+        return None
+    candidate = host
+    while True:
+        idx = candidate.find(".")
+        sub = candidate[idx + 1:]
+        if sub in _SUFFIXES:
+            return sub
+        candidate = sub
+        if idx < 0:
+            return None
 
 
 def queue_id(url: str, mode: str = "byHost") -> str | None:
@@ -425,12 +446,18 @@ def spark_udfs():
     def queue_id_udf(urls: pd.Series) -> pd.Series:
         return urls.map(lambda u: queue_id(u) if u is not None else None)
 
+    @pandas_udf(StringType())
+    def suffix_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(
+            lambda u: get_domain_suffix(u) if u is not None else None)
+
     return {
         "canonicalize": canonicalize_udf,
         "host": host_udf,
         "domain": domain_udf,
         "url_hash": url_hash_udf,
         "queue_id": queue_id_udf,
+        "suffix": suffix_udf,
     }
 
 

@@ -145,6 +145,29 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
         fl = (fl.withColumn("status_code", F.lit(None).cast("int"))
                 .withColumn("redirect_to", F.lit(None).cast("string"))
                 .withColumn("content_length", F.lit(None).cast("long")))
+    # fetcher.max.exceptions.per.queue (FetchItemQueues.java:181-201):
+    # the k-th queued item is purged when the exceptions among the
+    # items before it have already reached the cap — the item whose
+    # exception *reaches* the cap still emits its own retry row, only
+    # later items vanish (they stay unfetched in the crawldb, exactly
+    # like the reference's emptyQueue). Evaluated on the slim
+    # fetchlist+status frame so the purge window never shuffles page
+    # bytes; exceptions exist only where a status feed reports 5xx.
+    if cfg.fetcher_max_exceptions_per_queue >= 0:
+        exc = (F.col("_attempted")
+               & (F.coalesce(F.col("status_code"), F.lit(200)) >= 500))
+        wexc = Window.partitionBy("queue_id").orderBy("_k") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        fl = (fl.withColumn("_exc", exc.cast("int"))
+                .withColumn("_exc_before",
+                            F.coalesce(F.sum(F.when(F.col("_attempted"),
+                                                    F.col("_exc")))
+                                       .over(wexc), F.lit(0)))
+                .where(~F.col("_attempted")
+                       | (F.col("_exc_before")
+                          < cfg.fetcher_max_exceptions_per_queue))
+                .drop("_exc", "_exc_before"))
+
     joined = fl.join(page_side, "url", "left")
 
     code = F.coalesce(
@@ -181,10 +204,15 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
               .withColumn("_fstatus", fetch_status)
               .withColumn("_out_meta", out_meta))
     # shared by the three output projections; the frame carries page
-    # bytes, so the level is configurable (DISK_ONLY at production
-    # round sizes keeps html off the executor heap)
-    from pyspark import StorageLevel
-    result.persist(getattr(StorageLevel, cfg.page_cache_storage))
+    # bytes, so the level is configurable. "NONE" skips the persist:
+    # each output then recomputes the (cheap, slim) schedule+join plan,
+    # and Catalyst prunes html/text out of the crawl_fetch and linked
+    # plans entirely — only the content output ever moves page bytes.
+    # On a memory-bandwidth-bound host NONE scales better than caching
+    # the html-laden frame (BENCH.md hardware canaries).
+    if cfg.page_cache_storage != "NONE":
+        from pyspark import StorageLevel
+        result.persist(getattr(StorageLevel, cfg.page_cache_storage))
 
     crawl_fetch = result.select(
         "url",

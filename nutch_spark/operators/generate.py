@@ -85,13 +85,41 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     # per-host/domain cap, score-descending, url-asc tiebreak.
     # The reference increments the counter before testing >= maxCount
     # (Generator.java:293-304), admitting maxCount-1 per host — kept
-    # bug-compatible (FIXTURES.md F5 G2).
+    # bug-compatible (FIXTURES.md F5 G2). With maxNumSegments > 1 the
+    # overflow spills into later segments instead of being dropped
+    # (Generator.java:295-327): the first segment holds maxCount-1
+    # rows per host (the same pre-increment quirk), every later one
+    # holds maxCount, and only rows past the total capacity are lost.
+    max_seg = max(1, cfg.generate_max_num_segments)
+    segnum = F.lit(1)
     if cfg.generate_max_count > 0:
+        mc = cfg.generate_max_count
         w = Window.partitionBy("_hostordomain") \
             .orderBy(F.desc("_sort"), F.asc("url"))
-        df = (df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") < cfg.generate_max_count)
-                .drop("_rn"))
+        df = df.withColumn("_rn", F.row_number().over(w))
+        if max_seg > 1:
+            df = df.where(F.col("_rn") <= (mc - 1) + (max_seg - 1) * mc)
+            segnum = F.when(F.col("_rn") < mc, F.lit(1)).otherwise(
+                (F.floor((F.col("_rn") - mc) / mc) + 2).cast("int"))
+        else:
+            df = df.where(F.col("_rn") < mc)
+        df = df.withColumn("_segnum", segnum.cast("int")).drop("_rn")
+    elif max_seg > 1 and cfg.generate_top_n and cfg.generate_top_n > 0:
+        # no host cap: segments fill in global score order, topN per
+        # segment (Generator.java:248-255 count/limit walk). A global
+        # rank is inherently one ordered pass — same cost family as
+        # the reference's score-sorted reduce; only reached when a
+        # multi-segment fetchlist is requested without a host cap.
+        wg = Window.orderBy(F.desc("_sort"), F.asc("url"))
+        df = (df.withColumn("_gr", F.row_number().over(wg))
+                .where(F.col("_gr") <= cfg.generate_top_n * max_seg)
+                .withColumn("_segnum",
+                            (F.floor((F.col("_gr") - 1)
+                                     / cfg.generate_top_n) + 1)
+                            .cast("int"))
+                .drop("_gr"))
+    else:
+        df = df.withColumn("_segnum", F.lit(1).cast("int"))
 
     # global topN (Generator.java:248-255). Small N: Take­Ordered­And­
     # Project (per-partition heaps + single merge task). Large N: a
@@ -99,14 +127,28 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     # 50k×numSlaves) is the bottleneck, so switch to threshold
     # selection — downstream only needs the top-N *set* (the fetchlist
     # is re-partitioned by host and re-sorted by url-hash below), so
-    # no global order is ever materialized.
+    # no global order is ever materialized. With multiple segments the
+    # budget applies per segment (limit = topN/numReduce per reducer
+    # per segment in the reference); maxNumSegments is small, so a
+    # per-segment selection loop stays a handful of jobs.
     if cfg.generate_top_n and cfg.generate_top_n > 0:
-        if cfg.generate_top_n <= cfg.generate_topn_distributed_min:
-            df = df.orderBy(F.desc("_sort"), F.asc("url")) \
-                .limit(cfg.generate_top_n)
-        else:
-            df = _top_n_by_threshold(df, cfg.generate_top_n,
-                                     "_sort", "url")
+        def _topn(sub: DataFrame) -> DataFrame:
+            if cfg.generate_top_n <= cfg.generate_topn_distributed_min:
+                return sub.orderBy(F.desc("_sort"), F.asc("url")) \
+                    .limit(cfg.generate_top_n)
+            return _top_n_by_threshold(sub, cfg.generate_top_n,
+                                       "_sort", "url")
+        if max_seg > 1 and cfg.generate_max_count > 0:
+            parts = [_topn(df.where(F.col("_segnum") == s))
+                     for s in range(1, max_seg + 1)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            df = out
+        elif max_seg == 1:
+            df = _topn(df)
+        # (no-cap multi-segment branch above already budgeted topN
+        # per segment via the global rank)
 
     # stamp _ngt_ into the fetchlist rows (Generator.java:228)
     df = df.withColumn(
@@ -122,7 +164,7 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     # within each partition (Generator.java:386-416)
     n = cfg.num_fetch_partitions
     df = (df
-          .withColumn("segnum", F.lit(1).cast("int"))
+          .withColumn("segnum", F.col("_segnum")).drop("_segnum")
           .withColumn(
               "fetch_partition",
               F.pmod(F.xxhash64(F.col("_hostordomain"),

@@ -99,19 +99,106 @@ def webgraph(edges: DataFrame, scores: DataFrame | None,
     return {"outlinkdb": out, "inlinkdb": inl, "nodedb": node}
 
 
+def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
+    """Loops job (Loops.java:186-388): identify link cycles up to
+    ``link.loops.depth`` (default 2) hops so LinkRank can exclude them.
+
+    Initializer (lines 229-268): every node with inlinks seeds one
+    route per outlink, remembering the start url (``lookingFor``) and
+    the first hop. Looper ×depth (lines 326-380): a route sitting at
+    node ``at`` is *found* when ``lookingFor`` is among ``at``'s
+    outlinks; otherwise (if not the last pass) it forwards to every
+    outlink of ``at``. Finalizer (lines 418-444): found routes group
+    by start url into its loop set of first hops.
+
+    Spark shape: the per-pass reduce becomes [routes ⋈ outlink-sets on
+    ``at``] — one shuffle per pass, ``depth`` is small (2). The
+    intermediate route fan-out is outdeg^depth, the same blow-up the
+    reference warns about; the distinct() per pass keeps only unique
+    (at, looking_for, first_hop) triples to bound it.
+
+    Returns (url, loop_set array<string>)."""
+    e = edges.select("from_url", "to_url").distinct()
+    outsets = e.groupBy(F.col("from_url").alias("at")) \
+        .agg(F.collect_set("to_url").alias("outs"))
+    has_inlinks = e.select(F.col("to_url").alias("from_url")).distinct()
+    routes = (e.join(has_inlinks, "from_url")   # inlinks > 0 gate
+              .select(F.col("to_url").alias("at"),
+                      F.col("from_url").alias("looking_for"),
+                      F.col("to_url").alias("first_hop"))
+              .distinct())
+    found_parts = []
+    for i in range(depth):
+        last = i == depth - 1
+        j = routes.join(outsets, "at", "left") \
+            .withColumn("_found",
+                        F.array_contains(F.coalesce(
+                            F.col("outs"),
+                            F.array().cast("array<string>")),
+                            F.col("looking_for")))
+        found_parts.append(
+            j.where(F.col("_found"))
+             .select("looking_for", "first_hop"))
+        if not last:
+            routes = (j.where(~F.col("_found"))
+                      .select(F.explode("outs").alias("at"),
+                              "looking_for", "first_hop")
+                      .distinct()
+                      .localCheckpoint(eager=False))
+    found = found_parts[0]
+    for p in found_parts[1:]:
+        found = found.unionByName(p)
+    return (found.distinct()
+            .groupBy(F.col("looking_for").alias("url"))
+            .agg(F.collect_set("first_hop").alias("loop_set")))
+
+
 def linkrank(edges: DataFrame, iterations: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, loops: DataFrame | None = None,
+             limit_pages: bool = True,
+             limit_domains: bool = True) -> DataFrame:
     """LinkRank (LinkRank.java): PageRank variant — initial score 1.0
     (line 342), per-iteration score = (1−d) + d·Σ inlink share with
-    d=0.85 (lines 486-487, 560-561), duplicate inlink contributions
-    deduped per page (lines 541-547), dangling handling by rank-one
+    d=0.85 (lines 486-487, 560-561), dangling handling by rank-one
     for zero-inlink pages (lines 523-525).
 
+    Parity mechanisms:
+    - ``loops``: output of :func:`find_loops`; an edge from→to is
+      dropped when ``to ∈ loop_set(from)`` (Inverter, lines 437-445).
+    - ``limit_pages`` / ``limit_domains`` (link.ignore.limit.page /
+      .domain, both default true, lines 490-491): at most one inlink
+      contribution per inlink page / registered domain counts per
+      target (Analyzer, lines 518-553). The reference keeps the first
+      contribution in reduce-iteration order (nondeterministic under
+      MapReduce); here the *highest* contribution wins (max per key),
+      which is deterministic and order-independent.
+
     Iterative DataFrame loop with localCheckpoint to truncate lineage —
-    each iteration is one shuffle on to_url."""
-    e = edges.select("from_url", "to_url").distinct().cache()
+    each iteration is one shuffle on to_url (plus one per enabled
+    dedup key)."""
+    e = edges.select("from_url", "to_url").distinct()
+    # the node universe is the full webgraph — loop exclusion drops
+    # *edges* from inversion, never nodes (the reference's nodedb is
+    # untouched by Loops; an all-loop node still scores rank-one)
     nodes = (e.select(F.col("from_url").alias("url"))
              .union(e.select("to_url")).distinct().cache())
+    if loops is not None:
+        # remove edges contained in the source's loop set
+        lo = loops.select(F.col("url").alias("from_url"),
+                          F.explode("loop_set").alias("to_url")) \
+            .withColumn("_loop", F.lit(True))
+        e = (e.join(lo, ["from_url", "to_url"], "left")
+             .where(F.col("_loop").isNull()).drop("_loop"))
+    if limit_pages:
+        # URLUtil.getPage (URLUtil.java:444-453): lowercased url minus
+        # the query string (JVM expression; fragments are assumed
+        # normalized away upstream)
+        e = e.withColumn(
+            "_page", F.regexp_replace(F.lower("from_url"), r"\?.*", ""))
+    if limit_domains:
+        udfs = spark_udfs()
+        e = e.withColumn("_dom", udfs["domain"](F.col("from_url")))
+    e = e.cache()
     outdeg = e.groupBy("from_url").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("score", F.lit(1.0))
     rank_one = 1.0 - damping
@@ -119,7 +206,17 @@ def linkrank(edges: DataFrame, iterations: int = 10,
         contrib = (e.join(ranks, e.from_url == ranks.url)
                    .join(outdeg, "from_url")
                    .select(F.col("to_url").alias("url"),
-                           (F.col("score") / F.col("deg")).alias("c")))
+                           (F.col("score") / F.col("deg")).alias("c"),
+                           *([F.col("_page")] if limit_pages else []),
+                           *([F.col("_dom")] if limit_domains else [])))
+        if limit_pages:
+            contrib = contrib.groupBy("url", "_page").agg(
+                F.max("c").alias("c"),
+                *([F.first("_dom").alias("_dom")]
+                  if limit_domains else []))
+        if limit_domains:
+            contrib = contrib.groupBy("url", "_dom") \
+                .agg(F.max("c").alias("c"))
         summed = contrib.groupBy("url").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(summed, "url", "left")
                  .select("url",

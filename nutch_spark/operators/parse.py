@@ -84,11 +84,21 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
                                 F.col("_p.text"),
                                 F.col("url"),
                                 min_token_len=cfg.text_profile_min_token_len,
-                                quant_rate=cfg.text_profile_quant_rate)))
-    # carries html+text for the round — level configurable, see
-    # CrawlConfig.page_cache_storage
-    from pyspark import StorageLevel
-    parsed.persist(getattr(StorageLevel, cfg.page_cache_storage))
+                                quant_rate=cfg.text_profile_quant_rate))
+              # slim projection BEFORE the persist: html/text/lang are
+              # consumed entirely by the UDF + signature above, so the
+              # round cache holds only parse output — page bytes never
+              # sit in executor memory past this point. On a
+              # memory-bandwidth-bound host this is the difference
+              # between the parse stage scaling with cores and hitting
+              # the bus ceiling (BENCH.md hardware canaries).
+              .select("url", "fetch_time", "score", "fetch_interval",
+                      "metadata", "_p", "signature"))
+    # the multi-output reuse cache — level configurable ("NONE" skips
+    # caching entirely; each output then recomputes the parse UDF)
+    if cfg.parse_cache_storage != "NONE":
+        from pyspark import StorageLevel
+        parsed.persist(getattr(StorageLevel, cfg.parse_cache_storage))
 
     parse_text = parsed.select("url", F.col("_p.text").alias("text"))
     parse_data = parsed.select(

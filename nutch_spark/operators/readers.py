@@ -78,7 +78,8 @@ def domain_statistics(crawldb: DataFrame, mode: str = "host") -> DataFrame:
     suffix. Fetched-state filter matches the reference (MODE counts
     fetched rows: status db_fetched or db_notmodified)."""
     udfs = spark_udfs()
-    key = udfs["host" if mode == "host" else "domain"](F.col("url"))
+    key = udfs[mode if mode in ("host", "suffix") else "domain"](
+        F.col("url"))
     return (crawldb
             .withColumn("_key", key)
             .where(F.col("_key").isNotNull())

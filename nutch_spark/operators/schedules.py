@@ -15,7 +15,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..config import SECONDS_PER_DAY, CrawlConfig
-from ..schema import META_FIXED_INTERVAL
+from ..schema import META_CONTENT_TYPE, META_FIXED_INTERVAL
 
 # FetchSchedule.STATUS_* constants
 STATE_UNKNOWN = 0
@@ -57,7 +57,7 @@ def set_fetch_schedule(cfg: CrawlConfig, *, fetch_time: Column,
             "modified_time": modified_time,
         }
 
-    # adaptive
+    # adaptive / mime_adaptive
     interval = fetch_interval.cast("double")
     interval = F.when(interval == 0,
                       F.lit(float(cfg.db_fetch_interval_default))) \
@@ -65,11 +65,31 @@ def set_fetch_schedule(cfg: CrawlConfig, *, fetch_time: Column,
     fixed = F.element_at(F.coalesce(metadata, F.create_map()),
                          META_FIXED_INTERVAL).cast("double")
 
+    inc_rate = F.lit(float(cfg.adaptive_inc_rate))
+    dec_rate = F.lit(float(cfg.adaptive_dec_rate))
+    if cfg.fetch_schedule == "mime_adaptive" and cfg.mime_rates:
+        # MimeAdaptiveFetchSchedule.java:103-127: per-row INC/DEC from
+        # the Content-Type metadata key, cleaned by splitting on ';'
+        # (MimeUtil.cleanMimeType:117-130), defaulting to the adaptive
+        # rates when the mime is absent from the table. The rate table
+        # is a map literal — the lookup stays in codegen.
+        ct = F.element_at(F.coalesce(metadata, F.create_map()),
+                          META_CONTENT_TYPE)
+        clean = F.split(ct, ";").getItem(0)
+        inc_map = F.create_map(
+            *[c for m, i, _ in cfg.mime_rates
+              for c in (F.lit(m), F.lit(float(i)))])
+        dec_map = F.create_map(
+            *[c for m, _, d in cfg.mime_rates
+              for c in (F.lit(m), F.lit(float(d)))])
+        inc_rate = F.coalesce(F.element_at(inc_map, clean), inc_rate)
+        dec_rate = F.coalesce(F.element_at(dec_map, clean), dec_rate)
+
     mtime = F.when(modified_time <= 0, fetch_time).otherwise(modified_time)
     scaled = F.when(state == STATE_MODIFIED,
-                    interval * (1.0 - cfg.adaptive_dec_rate)) \
+                    interval * (F.lit(1.0) - dec_rate)) \
         .when(state == STATE_NOTMODIFIED,
-              interval * (1.0 + cfg.adaptive_inc_rate)) \
+              interval * (F.lit(1.0) + inc_rate)) \
         .otherwise(interval)
 
     if cfg.adaptive_sync_delta:

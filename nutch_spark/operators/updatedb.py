@@ -57,6 +57,24 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
             db = db.where(F.col("status") != DB_GONE)
         messages = db.unionByName(messages)
 
+    # CrawlDbFilter normalize + filter + re-key (CrawlDbFilter.java:91-108,
+    # crawldb.url.normalizers / crawldb.url.filters, both default off):
+    # every row — existing db entries included — is re-normalized and
+    # re-keyed before the merge, so rows whose urls collapse to the
+    # same canonical form merge in the groupBy below exactly like the
+    # reference's re-keyed map output merges in its reduce.
+    if cfg.db_update_normalize:
+        from ..functions.urls import spark_udfs
+        messages = (messages
+                    .withColumn("url",
+                                spark_udfs()["canonicalize"](F.col("url")))
+                    .where(F.col("url").isNotNull()))
+    if cfg.db_update_filter:
+        from ..functions.filters import filter_accepts_col
+        messages = filter_accepts_col(messages, cfg.url_filter_rules,
+                                      "url") \
+            .where(F.col("accepted")).drop("accepted")
+
     kind = (F.when(F.col("status").isin(*DB_STATUSES), "db")
              .when(F.col("status").isin(*FETCH_STATUSES), "fetch")
              .otherwise(F.col("status")))

@@ -54,6 +54,9 @@ META_GENERATE_TIME = "_ngt_"
 META_REPR_URL = "_repr_"
 META_PROTOCOL_STATUS = "_pst_"
 META_FIXED_INTERVAL = "fixedInterval"
+# HttpHeaders.CONTENT_TYPE as carried in CrawlDatum metadata
+# (MimeAdaptiveFetchSchedule.java:110-123)
+META_CONTENT_TYPE = "Content-Type"
 
 # --- crawldb: the frontier (CrawlDatum.java:128-135) --------------------
 CRAWLDB = StructType([

@@ -1,0 +1,98 @@
+"""Loops cycle detection and LinkRank's loop-exclusion + per-domain
+contribution dedup (Loops.java, LinkRank.java:437-553)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.operators.linkdb import find_loops, linkrank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "from_url string, to_url string")
+
+
+def test_loops_reciprocal(spark):
+    """a↔b is found at depth 1 of the Looper pass."""
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://b.ex/", "http://a.ex/")])
+    loops = {r.url: set(r.loop_set) for r in find_loops(e).collect()}
+    assert loops == {"http://a.ex/": {"http://b.ex/"},
+                     "http://b.ex/": {"http://a.ex/"}}
+
+
+def test_loops_three_cycle_depth2(spark):
+    """a→b→c→a requires the second pass (depth=2 default)."""
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://b.ex/", "http://c.ex/"),
+                       ("http://c.ex/", "http://a.ex/")])
+    loops = {r.url: set(r.loop_set) for r in find_loops(e).collect()}
+    assert loops["http://a.ex/"] == {"http://b.ex/"}
+    assert loops["http://b.ex/"] == {"http://c.ex/"}
+    assert loops["http://c.ex/"] == {"http://a.ex/"}
+    # depth=1 must NOT find the 3-cycle
+    assert find_loops(e, depth=1).count() == 0
+
+
+def test_loops_no_cycle(spark):
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://b.ex/", "http://c.ex/")])
+    assert find_loops(e).count() == 0
+
+
+def test_linkrank_excludes_loops(spark):
+    """With the loopset supplied, the reciprocal edge is dropped from
+    inversion: b receives no score from a's loop edge
+    (LinkRank.java:437-445)."""
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://b.ex/", "http://a.ex/"),
+                       ("http://z.ex/", "http://b.ex/")])
+    loops = find_loops(e)
+    with_loops = {r.url: r.score
+                  for r in linkrank(e, iterations=2, loops=loops,
+                                    limit_domains=False,
+                                    limit_pages=False).collect()}
+    without = {r.url: r.score
+               for r in linkrank(e, iterations=2, limit_domains=False,
+                                 limit_pages=False).collect()}
+    # the loop edges are gone: only z→b remains, so a ends at rank-one
+    assert with_loops["http://a.ex/"] == pytest.approx(0.15)
+    assert with_loops["http://b.ex/"] > with_loops["http://a.ex/"]
+    # and differs from the cyclic computation
+    assert without["http://a.ex/"] > with_loops["http://a.ex/"]
+
+
+def test_linkrank_domain_dedup(spark):
+    """Two inlinks from one registered domain count once; two domains
+    count twice (LinkRank.java:541-547, link.ignore.limit.domain)."""
+    # t1: two inlinks from sub-hosts of one domain
+    # t2: two inlinks from two distinct domains
+    # real TLDs: the full suffix table resolves x.one.com -> one.com
+    # (a fake ".ex" tld would collapse every host to domain "ex")
+    e = _edges(spark, [
+        ("http://x.one.com/", "http://t1.com/"),
+        ("http://y.one.com/", "http://t1.com/"),
+        ("http://x.one.com/", "http://t2.com/"),
+        ("http://z.two.com/", "http://t2.com/"),
+    ])
+    ranks = {r.url: r.score
+             for r in linkrank(e, iterations=1,
+                               limit_pages=False).collect()}
+    # x.one.com deg=2 (0.5 each), y deg=1, z deg=1.
+    # t1 dedup(one.com): max(0.5, 1.0)=1.0 counts once.
+    # t2: one.com 0.5 + two.com 1.0 = 1.5
+    assert ranks["http://t2.com/"] > ranks["http://t1.com/"]
+    assert ranks["http://t1.com/"] == pytest.approx(0.15 + 0.85 * 1.0)
+    assert ranks["http://t2.com/"] == pytest.approx(0.15 + 0.85 * 1.5)
+
+
+def test_linkrank_page_dedup_query_strings(spark):
+    """Inlinks differing only in query string are one page
+    (URLUtil.getPage: lowercased url minus query)."""
+    e = _edges(spark, [
+        ("http://a.ex/p?x=1", "http://t.ex/"),
+        ("http://a.ex/p?x=2", "http://t.ex/"),
+    ])
+    ranks = {r.url: r.score
+             for r in linkrank(e, iterations=1,
+                               limit_domains=False).collect()}
+    assert ranks["http://t.ex/"] == pytest.approx(0.15 + 0.85 * 1.0)

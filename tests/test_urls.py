@@ -110,6 +110,52 @@ def test_host_domain_queue():
         "http://example.com"
 
 
+# the reference's own getDomainName vectors (TestURLUtil.java:28-76),
+# full domain-suffixes table loaded
+GET_DOMAIN_VECTORS = [
+    ("http://lucene.apache.org/nutch", "apache.org"),
+    ("http://en.wikipedia.org/wiki/Java_coffee", "wikipedia.org"),
+    ("http://140.211.11.130/foundation/contributing.html",
+     "140.211.11.130"),
+    ("http://www.example.co.uk:8080/index.html", "example.co.uk"),
+    ("http://com", "com"),
+    ("http://www.example.co.uk.com", "uk.com"),
+    ("http://example.com.nn", "nn"),           # nn is not a tld
+    ("http://www.edu.tr.xyz", "xyz"),
+    ("http://www.example.c.se", "example.c.se"),
+    ("http://www.example.plc.co.im", "example.plc.co.im"),
+    ("http://www.example.2000.hu", "example.2000.hu"),
+    ("http://www.example.商業.tw", "example.商業.tw"),
+]
+
+# getDomainSuffix vectors (TestURLUtil.java:78-120)
+GET_SUFFIX_VECTORS = [
+    ("http://lucene.apache.org/nutch", "org"),
+    ("http://140.211.11.130/foundation/contributing.html", None),
+    ("http://www.example.co.uk:8080/index.html", "co.uk"),
+    ("http://com", "com"),
+    ("http://www.example.co.uk.com", "com"),
+    ("http://example.com.nn", None),
+    ("http://www.edu.tr.xyz", None),
+    ("http://subdomain.example.edu.tr", "edu.tr"),
+    ("http://subdomain.example.presse.fr", "presse.fr"),
+    ("http://subdomain.example.presse.tr", "tr"),
+    ("http://www.example.plc.co.im", "plc.co.im"),
+    ("http://www.example.2000.hu", "2000.hu"),
+]
+
+
+@pytest.mark.parametrize("url,expected", GET_DOMAIN_VECTORS)
+def test_get_domain_reference_vectors(url, expected):
+    assert get_domain(url) == expected
+
+
+@pytest.mark.parametrize("url,expected", GET_SUFFIX_VECTORS)
+def test_get_domain_suffix_reference_vectors(url, expected):
+    from nutch_spark.functions.urls import get_domain_suffix
+    assert get_domain_suffix(url) == expected
+
+
 # chooseRepr cases from the URLUtil.java:349-373 comment table
 CHOOSE_REPR_CASES = [
     # 1) different domain -> dst (temp or perm)
