@@ -225,6 +225,50 @@ def q_linkdb_invert(spark, sf):
     return ldb.select("url", F.size("inlinks").alias("n_inlinks"))
 
 
+def q_generate_segments(spark, sf):
+    """Multi-segment fetchlist spill (Generator.java:242-347,
+    maxNumSegments=3, maxCount=3): overflow beyond the per-host cap
+    lands in later segments instead of being dropped."""
+    cfg = CFG.with_(generate_top_n=-1, generate_max_count=3,
+                    generate_max_num_segments=3, generate_filter=False)
+    fl = gen_op.generate(_crawldb(spark, sf), cfg,
+                         cur_time_ms=CUR_TIME_MS, gen_time_ms=CUR_TIME_MS)
+    return fl.select("url", "segnum")
+
+
+def _loop_edges(spark, sf):
+    """Edges symmetrized on host0 sources so the graph provably
+    contains reciprocal cycles for the Loops detector."""
+    e = _edges(spark, sf).select("from_url", "to_url")
+    rev = (e.where(F.regexp_extract("from_url", r"host(\d+)\.", 1) == "0")
+           .select(F.col("to_url").alias("from_url"),
+                   F.col("from_url").alias("to_url")))
+    return e.unionByName(rev)
+
+
+def q_loops_detect(spark, sf):
+    """Loops job (Loops.java): per start url, the number of distinct
+    first hops that lead back within link.loops.depth=2."""
+    loops = linkdb_op.find_loops(_loop_edges(spark, sf), depth=2)
+    return loops.select("url", F.size("loop_set").alias("n_loops"))
+
+
+def q_linkrank(spark, sf):
+    """LinkRank with loop exclusion + per-page/domain contribution
+    dedup (LinkRank.java:437-553) — iterative, no SQL oracle."""
+    e = _loop_edges(spark, sf)
+    loops = linkdb_op.find_loops(e, depth=2)
+    r = linkdb_op.linkrank(e, iterations=3, loops=loops)
+    return r.select("url", F.round("score", 4).alias("score"))
+
+
+def q_domain_stats_domain(spark, sf):
+    """DomainStatistics in registered-domain mode: all synthetic hosts
+    are hostN.test and 'test' is not an IANA TLD, so the reference
+    suffix walk collapses them to domain 'test' — byDomain parity."""
+    return readers.domain_statistics(_crawldb(spark, sf), "domain")
+
+
 def q_webgraph_degrees(spark, sf):
     wg = linkdb_op.webgraph(_edges(spark, sf), None, CFG)
     return wg["nodedb"].select("url", "in_degree", "out_degree")
@@ -408,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_topn": q_crawldb_topn,
         "domain_stats": q_domain_stats,
         "linkdb_invert": q_linkdb_invert,
+        "generate_segments": q_generate_segments,
+        "loops_detect": q_loops_detect,
+        "domain_stats_domain": q_domain_stats_domain,
         "webgraph_degrees": q_webgraph_degrees,
         "crawldb_merge": q_crawldb_merge,
         "indexer_docs": q_indexer_docs,
@@ -427,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
+        "linkrank": q_linkrank,
     }
 
 
@@ -445,6 +493,64 @@ SELECT url FROM (
       PARTITION BY host ORDER BY score DESC, url ASC) AS rn
   FROM crawldb WHERE fetch_time <= 1000000000000)
 WHERE rn <= 2""",
+
+        # maxCount=3, maxNumSegments=3: seg1 holds maxCount-1=2 rows
+        # per host (pre-increment quirk), seg2/3 hold 3 each, capacity
+        # 2+3+3=8 (Generator.java:293-327)
+        "generate_segments": CRAWLDB_CTE + """
+SELECT url,
+       CASE WHEN rn < 3 THEN 1
+            ELSE 2 + CAST(FLOOR((rn - 3) / 3.0) AS INTEGER)
+       END AS segnum
+FROM (
+  SELECT url, ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY score DESC, url ASC) AS rn
+  FROM crawldb WHERE fetch_time <= 1000000000000)
+WHERE rn <= 8""",
+
+        # bounded-depth route propagation (Loops.java): pass 1 finds
+        # reciprocal links, pass 2 (last) finds 3-cycles; routes keep
+        # their original first hop
+        "loops_detect": "WITH " + EDGE_SQL.replace("edges AS (", """
+base_edges AS (""") + """,
+edges2 AS (
+  SELECT from_url, to_url FROM base_edges
+  UNION
+  SELECT to_url AS from_url, from_url AS to_url
+  FROM base_edges WHERE from_host = 0
+),
+ind AS (SELECT DISTINCT to_url AS u FROM edges2),
+r0 AS (
+  SELECT e.to_url AS at, e.from_url AS lf, e.to_url AS fh
+  FROM edges2 e JOIN ind ON e.from_url = ind.u
+),
+f1 AS (
+  SELECT DISTINCT r0.lf, r0.fh FROM r0
+  JOIN edges2 e ON e.from_url = r0.at AND e.to_url = r0.lf
+),
+r1 AS (
+  SELECT DISTINCT e2.to_url AS at, r0.lf, r0.fh
+  FROM r0 JOIN edges2 e2 ON e2.from_url = r0.at
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges2 ex
+    WHERE ex.from_url = r0.at AND ex.to_url = r0.lf)
+),
+f2 AS (
+  SELECT DISTINCT r1.lf, r1.fh FROM r1
+  JOIN edges2 e ON e.from_url = r1.at AND e.to_url = r1.lf
+),
+f AS (SELECT * FROM f1 UNION SELECT * FROM f2)
+SELECT lf AS url, CAST(COUNT(*) AS INTEGER) AS n_loops
+FROM f GROUP BY lf""",
+
+        # every synthetic host is hostN.test; 'test' is absent from
+        # the IANA suffix table, so the reference walk yields domain
+        # 'test' for all rows (URLUtil.getDomainName fall-out)
+        "domain_stats_domain": CRAWLDB_CTE + """
+SELECT 'test' AS domain, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN status IN ('db_fetched', 'db_notmodified')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fetched
+FROM crawldb""",
 
         "inject_new": """
 SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'

@@ -59,12 +59,44 @@ class CrawlRun:
 
     def _write(self, df: DataFrame, name: str, rnd: int | None = None,
                partition_by: str | None = None) -> DataFrame:
+        """Atomic snapshot install (CrawlDb.java:155-173 / Iceberg
+        ``overwritePartitions`` semantics on a cluster): the table is
+        written to a temp dir, a ``_snapshot.json`` commit record is
+        added only after the write fully succeeds, and the directory
+        is then installed with the reference's current/old rename
+        dance. A crash at ANY point leaves either the previous
+        committed snapshot in place or a temp dir that resume ignores —
+        never a half-written table that :meth:`resume_round` would
+        treat as committed."""
         path = self._path(name, rnd)
+        tmp = path + ".tmp"
+        old = path + ".old"
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
-        w.parquet(path)
+        w.parquet(tmp)
+        with open(os.path.join(tmp, "_snapshot.json"), "w") as f:
+            json.dump({"name": name, "round": rnd, "ts": time.time(),
+                       "rows": None}, f)
+        # install: current -> old, tmp -> current, drop old
+        # (CrawlDb.install; dir renames are atomic on POSIX)
+        if os.path.isdir(old):
+            import shutil
+            shutil.rmtree(old)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            import shutil
+            shutil.rmtree(old)
         return self.spark.read.parquet(path)
+
+    @staticmethod
+    def _committed(path: str) -> bool:
+        return os.path.isfile(os.path.join(path, "_snapshot.json"))
 
     def _metric(self, rnd: int, stage: str, **kv) -> None:
         self.metrics.append({"round": rnd, "stage": stage,
@@ -77,13 +109,19 @@ class CrawlRun:
                 f.write(json.dumps(m) + "\n")
 
     def resume_round(self) -> int:
-        """Latest committed crawldb round, or -1 if none (the
-        resumability contract: restart continues from here)."""
+        """Latest *committed* crawldb round, or -1 if none (the
+        resumability contract: restart continues from here). Only
+        rounds carrying a ``_snapshot.json`` commit record count —
+        ``.tmp``/``.old`` leftovers from a crash mid-install are
+        ignored, mirroring the reference's current/old install where
+        an interrupted install leaves ``current`` untouched."""
         base = os.path.join(self.out, "crawldb")
         if not os.path.isdir(base):
             return -1
         rounds = [int(d.split("=")[1]) for d in os.listdir(base)
-                  if d.startswith("round=")]
+                  if d.startswith("round=") and not d.endswith(".tmp")
+                  and not d.endswith(".old")
+                  and self._committed(os.path.join(base, d))]
         return max(rounds) if rounds else -1
 
     def load_crawldb(self, rnd: int) -> DataFrame:
@@ -170,8 +208,13 @@ class CrawlRun:
         """Full crawl; virtual clock advances one ``round_ms`` per
         round so re-fetch scheduling behaves deterministically."""
         now = start_ms if start_ms is not None else int(time.time() * 1000)
-        self.inject(seeds, now)
-        for r in range(1, rounds + 1):
+        # resume: completed rounds are skipped — a crash between stage
+        # commits restarts its round from the last committed crawldb
+        # snapshot (per-round checkpoints, north-rule resumability)
+        done = self.resume_round()
+        if done <= 0:
+            self.inject(seeds, now)
+        for r in range(max(1, done + 1), rounds + 1):
             stats = self.run_round(r, now + r * round_ms)
             if stats["fetchlist_rows"] == 0:
                 break

@@ -66,6 +66,44 @@ def test_resume_from_checkpoint(spark, tmp_path, fixture):
     assert stats["crawldb_rows"] >= stats["fetchlist_rows"]
 
 
+def test_crash_mid_write_resumes_from_last_snapshot(spark, tmp_path,
+                                                    fixture):
+    """Atomic install contract (CrawlDb.java:155-173): a half-written
+    crawldb snapshot (no _snapshot.json commit record) is invisible to
+    resume; the crawl restarts its round from the last committed one
+    and converges to the same final state as an uninterrupted run."""
+    import os
+    import shutil
+
+    run, db_ok = _run(spark, tmp_path / "clean", fixture, rounds=2)
+
+    # crashed run: round 1 completes, then simulate dying mid-install
+    # of round 2 — a .tmp dir with data but no commit record
+    run2, _ = _run(spark, tmp_path / "crash", fixture, rounds=1)
+    base = str(tmp_path / "crash" / "crawldb")
+    src = os.path.join(base, "round=1")
+    tmp2 = os.path.join(base, "round=2.tmp")
+    shutil.copytree(src, tmp2)
+    os.remove(os.path.join(tmp2, "_snapshot.json"))
+    assert run2.resume_round() == 1   # the torn write is ignored
+
+    # also a torn COMMITTED-looking dir without the record
+    part = os.path.join(base, "round=3")
+    os.makedirs(part)
+    assert run2.resume_round() == 1
+
+    shutil.rmtree(part)
+    # resume re-runs round 2 only and matches the clean run
+    cfg = CrawlConfig(generate_top_n=100, num_fetch_partitions=4)
+    run3 = CrawlRun(spark, str(tmp_path / "crash"), cfg,
+                    fixture["pages"], fixture["robots"],
+                    fixture["http_status"], bloom_buckets=4)
+    db_resumed = run3.crawl(fixture["seeds"], rounds=2, start_ms=START)
+    rows_ok = sorted((r.url, r.status) for r in db_ok.collect())
+    rows_re = sorted((r.url, r.status) for r in db_resumed.collect())
+    assert rows_ok == rows_re
+
+
 def test_duplicate_content_marked(spark, tmp_path, fixture):
     """Hosts ≥2 share page p0001 bytes (fixture dup page) → one winner
     per signature, losers db_duplicate (DeduplicationJob)."""
