@@ -303,6 +303,35 @@ def q_indexer_docs(spark, sf):
                       F.round("boost", 6).alias("boost"), "fetched_at")
 
 
+def q_indexer_deletes(spark, sf):
+    """Indexer delete actions (IndexerMapReduce.java:195-268) over a
+    derived segment: db statuses cycle through gone/redirect/duplicate
+    by doc_id%7, fetch rows exist for doc_id%3!=0 with statuses by
+    doc_id%11, parse rows for doc_id%2==0 with robots-noindex at
+    doc_id%26==0."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    db = d.select(
+        _url(i).alias("url"),
+        F.when(i % 7 == 0, "db_gone")
+         .when(i % 7 == 1, "db_redir_temp")
+         .when(i % 7 == 2, "db_redir_perm")
+         .when(i % 7 == 3, "db_duplicate")
+         .otherwise("db_fetched").alias("status"))
+    cf = d.where(i % 3 != 0).select(
+        _url(i).alias("url"),
+        F.when(i % 11 == 0, "fetch_gone")
+         .when(i % 11 == 1, "fetch_redir_temp")
+         .otherwise("fetch_success").alias("status"))
+    pd_ = d.where(i % 2 == 0).select(
+        _url(i).alias("url"),
+        F.when(i % 13 == 0, F.lit("noindex,follow"))
+         .otherwise(F.lit("index,follow")).alias("meta_robots"))
+    cfg = CFG.with_(indexer_delete=True,
+                    indexer_delete_robots_noindex=True)
+    return readers.indexer_deletes(db, pd_, cf, cfg)
+
+
 def q_parse_extract(spark, sf):
     d = _docs(spark, sf)
     i = F.col("doc_id")
@@ -372,10 +401,35 @@ def q_events_hourly(spark, sf):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
-# ---- rows-only queries (non-SQL-expressible operators) -------------------
+def q_simhash_hamming(spark, sf):
+    """Exact-recall SimHash near-dup with the cross-engine md5-60
+    token-hash family — every pair within Hamming ≤ 3 of the 60-bit
+    simhash, oracle-reproducible in any engine with md5 + bit ops."""
+    d = _docs(spark, sf)
+    return dedup_text.simhash_neardup(d, max_hamming=3, n_bits=60,
+                                      token_hash="md5")
+
+
+def q_ngram_jaccard_exact(spark, sf):
+    """Prefix-filtered exact n-gram Jaccard self-join (AllPairs/PPJoin
+    principle): exact recall at threshold 0.3, no LSH."""
+    d = _docs(spark, sf).withColumn(
+        "text", F.substring(F.col("text"), 1, 120))
+    return dedup_text.ngram_jaccard_exact(d, threshold=0.3)
+
+
+def q_embedding_neardup_exact(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ann.cosine_neardup_exact(emb, threshold=0.4)
+
 
 def q_fetch_politeness(spark, sf):
-    db = _crawldb(spark, sf).limit(2000)
+    """Virtual-time politeness schedule over the full derived frontier:
+    generate top-500, byHost queues, empty robots (all allowed,
+    default 5 s delay) — the k-th attempted URL of a queue (FIFO in
+    url-hash order) completes at round_start + k × delay. Every column
+    is SQL-derivable, so this carries a full DuckDB oracle."""
+    db = _crawldb(spark, sf)
     cfg = CFG.with_(generate_top_n=500, generate_filter=False,
                     num_fetch_partitions=8)
     fl = gen_op.generate(db, cfg, cur_time_ms=CUR_TIME_MS,
@@ -458,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webgraph_degrees": q_webgraph_degrees,
         "crawldb_merge": q_crawldb_merge,
         "indexer_docs": q_indexer_docs,
+        "indexer_deletes": q_indexer_deletes,
         "parse_extract": q_parse_extract,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -466,8 +521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
-        # rows-only (non-SQL-expressible)
         "fetch_politeness": q_fetch_politeness,
+        "simhash_hamming": q_simhash_hamming,
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        # rows-only (non-SQL-expressible: LSH recall, iterative, media)
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -667,6 +725,57 @@ SELECT url, host, 'T' || CAST(doc_id AS VARCHAR) AS title,
        CAST(3000000 AS BIGINT) AS fetched_at
 FROM crawldb WHERE doc_id % 2 = 0""",
 
+        # delete-rule precedence: robots_noindex > gone > redirect >
+        # duplicate; gone/redirect/duplicate require BOTH db and fetch
+        # rows; duplicate additionally requires the parse row
+        "indexer_deletes": """
+WITH db AS (
+  SELECT doc_id,
+         'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN 'db_gone'
+              WHEN doc_id % 7 = 1 THEN 'db_redir_temp'
+              WHEN doc_id % 7 = 2 THEN 'db_redir_perm'
+              WHEN doc_id % 7 = 3 THEN 'db_duplicate'
+              ELSE 'db_fetched' END AS db_status
+  FROM documents),
+cf AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 11 = 0 THEN 'fetch_gone'
+              WHEN doc_id % 11 = 1 THEN 'fetch_redir_temp'
+              ELSE 'fetch_success' END AS fetch_status
+  FROM documents WHERE doc_id % 3 <> 0),
+pd AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 13 = 0 THEN 'noindex,follow'
+              ELSE 'index,follow' END AS robots
+  FROM documents WHERE doc_id % 2 = 0),
+j AS (
+  SELECT db.url AS url, db_status, fetch_status, robots,
+         pd.url IS NOT NULL AS has_pd
+  FROM db LEFT JOIN cf ON db.url = cf.url
+          LEFT JOIN pd ON db.url = pd.url),
+r AS (
+  SELECT url,
+         CASE WHEN has_pd AND robots LIKE '%noindex%'
+                THEN 'robots_noindex'
+              WHEN fetch_status IS NOT NULL
+                   AND (fetch_status = 'fetch_gone'
+                        OR db_status = 'db_gone') THEN 'gone'
+              WHEN fetch_status IS NOT NULL
+                   AND (fetch_status IN ('fetch_redir_temp',
+                                         'fetch_redir_perm')
+                        OR db_status IN ('db_redir_temp',
+                                         'db_redir_perm'))
+                THEN 'redirect'
+              WHEN fetch_status IS NOT NULL AND has_pd
+                   AND db_status = 'db_duplicate' THEN 'duplicate'
+         END AS reason
+  FROM j)
+SELECT url, reason FROM r WHERE reason IS NOT NULL""",
+
         "parse_extract": """
 SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
          || CAST(doc_id AS VARCHAR) AS url,
@@ -771,4 +880,107 @@ WHERE rank <= 5""",
 SELECT event_type, STRFTIME(ts, '%Y-%m-%d %H') AS hour,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type, hour""",
+
+        # virtual-time politeness: top-500 by (score desc, url asc),
+        # queue = proto://host, FIFO in url_hash31 order (h=1; bytes
+        # last-to-first; h=31h+b mod 2^32, signed), k-th attempted item
+        # completes at start + k*5000 ms; all urls resolve to pages
+        # (200) -> fetch_success
+        "fetch_politeness": CRAWLDB_CTE + """
+, fl AS (
+  SELECT url, 'http://' || host AS queue_id FROM crawldb
+  WHERE fetch_time <= 1000000000000
+  ORDER BY score DESC, url ASC LIMIT 500),
+h AS (
+  SELECT url, queue_id,
+         list_reduce(
+           list_prepend(CAST(1 AS BIGINT),
+             [CAST(ascii(x) AS BIGINT)
+              FOR x IN regexp_extract_all(reverse(url), '.')]),
+           (a, b) -> (a * 31 + b) % 4294967296) AS uh
+  FROM fl)
+SELECT url, 'fetch_success' AS status, queue_id,
+       CAST(1000000000000 + (ROW_NUMBER() OVER (
+           PARTITION BY queue_id
+           ORDER BY CASE WHEN uh >= 2147483648 THEN uh - 4294967296
+                         ELSE uh END ASC, url ASC) - 1) * 5000
+            AS BIGINT) AS virtual_time
+FROM h""",
+
+        # 60-bit simhash, md5-60 token hashes, all pairs Hamming <= 3
+        # (the Spark side's multi-index blocking has exact recall, so
+        # brute-force pairing is a faithful oracle)
+        "simhash_hamming": r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t FROM (
+    SELECT doc_id,
+           UNNEST(string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' '))
+             AS t
+    FROM documents)),
+th AS (
+  SELECT id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+  FROM tok),
+charges AS (
+  SELECT id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th CROSS JOIN (SELECT UNNEST(range(60)) AS b)
+  GROUP BY id, b),
+sh AS (
+  SELECT id,
+         SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b)
+                  ELSE 0 END) AS sh
+  FROM charges GROUP BY id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+
+        # exact word-3-gram Jaccard >= 0.3 over 120-char prefixes;
+        # brute-force pair aggregation (the Spark side's prefix filter
+        # has exact recall, so this is a faithful oracle)
+        "ngram_jaccard_exact": r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(trim(substring(text, 1, 120))),
+                        '\s+', ' ', 'g') AS nt
+  FROM documents),
+w AS (SELECT id, nt, string_split(nt, ' ') AS ws FROM d),
+s AS (
+  SELECT id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(range(len(ws) - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                                          ' ')))
+              ELSE [nt] END AS sh
+  FROM w),
+ex AS (SELECT id, UNNEST(sh) AS g FROM s),
+sz AS (SELECT id, COUNT(*) AS n FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ni
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3""",
+
+        # exact cosine near-dup pairs; double-precision end to end so
+        # the values match the Spark side bit-for-bit before rounding
+        "embedding_neardup_exact": """
+WITH e AS (
+  SELECT vec_id, embedding,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(sim, 6) AS cos_sim
+FROM p WHERE sim >= 0.4""",
     }

@@ -85,6 +85,12 @@ class CrawlConfig:
     db_score_link_external: float = 1.0       # db.score.link.external
     db_parsemeta_to_crawldb: tuple[str, ...] = ()
 
+    # --- indexer (IndexerMapReduce.java:60-77,195-268) ---
+    indexer_delete: bool = False              # indexer.delete
+    # indexer.delete.robots.noindex (NUTCH-1434)
+    indexer_delete_robots_noindex: bool = False
+    indexer_skip_notmodified: bool = False    # indexer.skip.notmodified
+
     # --- scoring-depth plugin (DepthScoringFilter.java) ---
     scoring_depth_enabled: bool = False
     scoring_depth_max: int = 1000             # scoring.depth.max

@@ -124,6 +124,44 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cos_sim", 6).alias("cos_sim"), "rank"))
 
 
+def cosine_neardup_exact(embeddings: DataFrame,
+                         threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """EXACT near-duplicate vector pairs: every (id_a < id_b) with
+    cosine ≥ threshold — the correctness baseline for
+    ``embedding_neardup`` (same relationship as ``cosine_topk`` to
+    ``lsh_topk``). All arithmetic is double-precision end to end
+    (floats widened before the multiply), so any engine computing
+    the same formula reproduces the values bit-for-bit.
+
+    Cost is the O(n²/2) pair join — partition-parallel but quadratic;
+    use the LSH-blocked ``embedding_neardup`` beyond ~10⁵ vectors."""
+    def dot64(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm64(a):
+        return F.sqrt(F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v))
+
+    b = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"),
+                          norm64(F.col(vec_col)).alias("nrm"))
+    a, c = b.alias("a"), b.alias("b")
+    sim = dot64(F.col("a.v"), F.col("b.v")) \
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(c, F.col("a.id") < F.col("b.id"))
+            .withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",

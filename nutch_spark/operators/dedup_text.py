@@ -172,27 +172,40 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """(id, sh): 64-bit SimHash over word tokens — per-bit charge sum
-    of token xxhash64 values, sign → bit.
+               text_col: str = "text", n_bits: int = 64,
+               token_hash: str = "xxhash64") -> DataFrame:
+    """(id, sh): ``n_bits``-bit SimHash over word tokens — per-bit
+    charge sum of token hash values, sign → bit.
 
-    Shaped as explode + one hash aggregate with 64 sum columns:
+    Shaped as explode + one hash aggregate with ``n_bits`` sum columns:
     map-side partial aggregation does the per-bit charge sums, so the
-    shuffle carries one 64-long row per doc and there is no
-    64×|tokens| nested expression per row."""
+    shuffle carries one n_bits-long row per doc and there is no
+    n_bits×|tokens| nested expression per row.
+
+    ``token_hash``: ``xxhash64`` (default, fastest) or ``md5`` — the
+    top 60 bits of md5, reproducible in any engine with an md5
+    function (used by the driver's cross-engine oracle; cap
+    ``n_bits`` at 60 with this family)."""
+    if token_hash == "md5":
+        if n_bits > 60:
+            raise ValueError("md5 token family carries 60 usable bits")
+        h = F.conv(F.substring(F.md5(F.encode(F.col("t"), "UTF-8")),
+                               1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("t")
     tok = (docs
            .select(F.col(id_col).alias("id"),
                    F.explode(F.array_distinct(
                        F.split(_norm_text(F.col(text_col)), " ")))
                    .alias("t"))
-           .withColumn("h", F.xxhash64("t")))
+           .withColumn("h", h))
     aggs = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
                      == 1, 1).otherwise(-1)).alias(f"c{b}")
-        for b in range(64)]
+        for b in range(n_bits)]
     g = tok.groupBy("id").agg(*aggs)
     sh = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sh = sh + F.when(F.col(f"c{b}") > 0,
                          F.lit(1 << b if b < 63 else -(1 << 63))
                          .cast("long")).otherwise(F.lit(0).cast("long"))
@@ -200,7 +213,8 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _simhash_plan(max_hamming: int,
-                  max_tables: int = 64) -> tuple[int, int]:
+                  max_tables: int = 64,
+                  n_bits: int = 64) -> tuple[int, int]:
     """Pick (c, m) for generalized multi-index blocking: split the
     64-bit hash into ``c`` blocks and key each of the C(c, m) tables on
     an m-block combination. Pigeonhole: a pair within Hamming
@@ -220,7 +234,7 @@ def _simhash_plan(max_hamming: int,
         t = comb(c, m)
         if t > max_tables:
             continue
-        key_bits = (64 // c) * m
+        key_bits = (n_bits // c) * m
         cand = ((1, -t, key_bits) if key_bits >= 24
                 else (0, key_bits, -t), c, m)
         if best is None or cand[0] > best[0]:
@@ -233,7 +247,9 @@ def _simhash_plan(max_hamming: int,
 def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     max_hamming: int = 3,
-                    max_bucket_size: int | None = None) -> DataFrame:
+                    max_bucket_size: int | None = None,
+                    n_bits: int = 64,
+                    token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Blocking is generalized multi-index (see ``_simhash_plan``): the
@@ -250,8 +266,9 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
     quadratic; capping trades recall on >cap-sized duplicate clusters
     (which exact-dedup or a shorter radius should own) for bounded
     work. Default None preserves exact recall."""
-    c, m = _simhash_plan(max_hamming)
-    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
+    c, m = _simhash_plan(max_hamming, n_bits=n_bits)
+    widths = [n_bits // c + (1 if i < n_bits % c else 0)
+              for i in range(c)]
     offs = [sum(widths[:i]) for i in range(c)]
 
     def block(i: int) -> Column:
@@ -268,7 +285,7 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
                   .alias("key"))
         for t, combo in enumerate(combinations(range(c), m))])
 
-    df = simhash_df(docs, id_col, text_col)
+    df = simhash_df(docs, id_col, text_col, n_bits, token_hash)
     blocked = (df.select("id", "sh", F.explode(tables).alias("tk"))
                .select("id", "sh", F.col("tk.table").alias("table"),
                        F.col("tk.key").alias("key")))
@@ -302,6 +319,54 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(F.col(id_col).alias("id"),
                      shingle_hashes(F.col(text_col), n).alias("sh"))
     return (cands
+            .join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def ngram_jaccard_exact(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join: every pair with
+    Jaccard ≥ threshold, no sampling, no LSH recall loss.
+
+    Candidate generation is a prefix-filtered inverted index (the
+    AllPairs/PPJoin principle): shingles get a global total order by
+    (document frequency asc, shingle asc); a doc with |d| distinct
+    shingles indexes only its first |d| − ⌈t·|d|⌉ + 1 shingles in that
+    order. Any pair with J ≥ t has overlap ≥ ⌈t·|d|⌉ on each side, so
+    the prefixes must intersect — recall is exact, yet hot shingles
+    (high document frequency) sort last and rarely enter any prefix,
+    which keeps the inverted-index buckets small at scale. The exact
+    intersection/union verify then removes false candidates.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     word_shingles(F.col(text_col), n).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("id")
+    prefix = (ex.join(freq, "g")
+              .withColumn("_r", F.row_number().over(
+                  wdoc.orderBy(F.asc("df"), F.asc("g"))))
+              .withColumn("_sz", F.count("*").over(wdoc))
+              .where(F.col("_r")
+                     <= F.col("_sz")
+                     - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+              .select("id", "g"))
+    cand = (prefix.alias("a").join(prefix.alias("b"), "g")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    return (cand
             .join(sh.select(F.col("id").alias("id_a"),
                             F.col("sh").alias("sh_a")), "id_a")
             .join(sh.select(F.col("id").alias("id_b"),

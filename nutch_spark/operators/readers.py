@@ -16,7 +16,8 @@ from ..config import CrawlConfig
 from ..functions.urls import spark_udfs
 from ..schema import (
     DB_DUPLICATE, DB_FETCHED, DB_GONE, DB_NOTMODIFIED, DB_REDIR_PERM,
-    DB_REDIR_TEMP,
+    DB_REDIR_TEMP, FETCH_GONE, FETCH_NOTMODIFIED, FETCH_REDIR_PERM,
+    FETCH_REDIR_TEMP,
 )
 
 
@@ -110,6 +111,77 @@ def segment_reader(url: str, **tables: DataFrame) -> DataFrame:
     return out
 
 
+def indexer_deletes(crawldb: DataFrame, parse_data: DataFrame | None,
+                    crawl_fetch: DataFrame | None,
+                    cfg: CrawlConfig) -> DataFrame:
+    """Delete actions the indexer sink must issue
+    (IndexerMapReduce.java:195-268, ``indexer.delete`` /
+    ``indexer.delete.robots.noindex``): returns (url, reason) with
+    the reducer's precedence —
+
+    1. ``robots_noindex``: parseData's robots meta contains
+       ``noindex`` (checked first, fires even without fetch/db rows;
+       NUTCH-1434). ``parse_data`` may carry the meta as a
+       ``meta_robots`` string column; absent column ⇒ rule inert.
+    2. ``gone``: fetch AND db rows present, either status gone.
+    3. ``redirect``: fetch AND db rows present, either status a
+       temp/perm redirect.
+    4. ``duplicate``: db status db_duplicate (the reference requires
+       all four segment parts present; here db+fetch+parseData — the
+       parseText requirement adds nothing to the delete decision).
+
+    One row per url, first matching reason wins (the reference's
+    early-return)."""
+    db = crawldb.select("url", F.col("status").alias("db_status"))
+    cf = (crawl_fetch.select(
+              "url", F.col("status").alias("fetch_status"))
+          if crawl_fetch is not None else None)
+    if parse_data is not None and "meta_robots" in parse_data.columns:
+        pd_ = parse_data.select(
+            "url", F.lower(F.coalesce(F.col("meta_robots"), F.lit("")))
+            .alias("_robots"), F.lit(True).alias("_has_pd"))
+    elif parse_data is not None:
+        pd_ = parse_data.select("url", F.lit("").alias("_robots"),
+                                F.lit(True).alias("_has_pd"))
+    else:
+        pd_ = None
+
+    df = db
+    if cf is not None:
+        df = df.join(cf, "url", "full_outer")
+    else:
+        df = df.withColumn("fetch_status", F.lit(None).cast("string"))
+    if pd_ is not None:
+        df = df.join(pd_, "url", "full_outer")
+    else:
+        df = (df.withColumn("_robots", F.lit(""))
+                .withColumn("_has_pd", F.lit(False)))
+
+    both = (F.col("fetch_status").isNotNull()
+            & F.col("db_status").isNotNull())
+    robots_del = (F.lit(cfg.indexer_delete_robots_noindex)
+                  & F.col("_has_pd").isNotNull() & F.col("_has_pd")
+                  & F.col("_robots").contains("noindex"))
+    gone_del = (F.lit(cfg.indexer_delete) & both
+                & ((F.col("fetch_status") == FETCH_GONE)
+                   | (F.col("db_status") == DB_GONE)))
+    redir_del = (F.lit(cfg.indexer_delete) & both
+                 & (F.col("fetch_status").isin(FETCH_REDIR_PERM,
+                                               FETCH_REDIR_TEMP)
+                    | F.col("db_status").isin(DB_REDIR_PERM,
+                                              DB_REDIR_TEMP)))
+    dup_del = (F.lit(cfg.indexer_delete) & both
+               & F.coalesce(F.col("_has_pd"), F.lit(False))
+               & (F.col("db_status") == DB_DUPLICATE))
+    reason = (F.when(robots_del, "robots_noindex")
+               .when(gone_del, "gone")
+               .when(redir_del, "redirect")
+               .when(dup_del, "duplicate"))
+    return (df.withColumn("reason", reason)
+              .where(F.col("reason").isNotNull())
+              .select("url", "reason"))
+
+
 def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
                  parse_text: DataFrame, parse_data: DataFrame,
                  crawl_fetch: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -124,9 +196,12 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
     """
     db = crawldb.select("url", F.col("status").alias("db_status"),
                         "score", "signature")
-    cf = crawl_fetch.select("url",
-                            F.col("status").alias("fetch_status"),
-                            F.col("fetch_time").alias("fetched_at"))
+    # "don't index unmodified (empty) pages" — a notmodified fetch row
+    # never becomes the fetchDatum (IndexerMapReduce.java:198-201)
+    cf = (crawl_fetch
+          .where(F.col("status") != FETCH_NOTMODIFIED)
+          .select("url", F.col("status").alias("fetch_status"),
+                  F.col("fetch_time").alias("fetched_at")))
     pt = parse_text.select("url", "text")
     pd_ = parse_data.select("url", "title")
     doc = (db.join(cf, "url")
@@ -134,6 +209,9 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
              .join(pt, "url")
              .where(~F.col("db_status").isin(
                  DB_GONE, DB_REDIR_PERM, DB_REDIR_TEMP, DB_DUPLICATE)))
+    # indexer.skip.notmodified (IndexerMapReduce.java:266-269)
+    if cfg.indexer_skip_notmodified:
+        doc = doc.where(F.col("db_status") != DB_NOTMODIFIED)
     if linkdb is not None:
         anchors = linkdb.select(
             "url",

@@ -136,6 +136,66 @@ def test_simhash_similar_vs_different(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_simhash_md5_family_matches_xxhash_semantics(spark):
+    """The md5-60 token-hash family (cross-engine oracle path) finds
+    the same near/far structure as the default xxhash64 family."""
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen")
+    rows = [(0, base), (1, base + " sixteen"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(p.id_a, p.id_b)
+             for p in dedup_text.simhash_neardup(
+                 d, max_hamming=16, n_bits=60, token_hash="md5")
+             .collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_exact_equals_bruteforce(spark):
+    """Prefix-filtered exact join returns EXACTLY the brute-force
+    all-pairs result (recall proof on a fixture with shared and
+    disjoint shingle sets)."""
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),       # high overlap with 0
+        (2, "a b c q r s t u"),       # low overlap with 0/1
+        (3, "v w x y z zz zzz zzzz"),  # disjoint
+        (4, "a b c d e f g h"),       # identical to 0
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(p.id_a, p.id_b): p.jaccard
+           for p in dedup_text.ngram_jaccard_exact(
+               d, n=3, threshold=0.3).collect()}
+
+    # brute force over distinct word-3-gram string sets
+    def sh(t):
+        w = t.split()
+        return set(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    want = {}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert got[(0, 4)] == 1.0
+
+
+def test_cosine_neardup_exact(spark):
+    import math
+    rows = [(0, [1.0, 0.0]), (1, [math.cos(0.1), math.sin(0.1)]),
+            (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in ann.cosine_neardup_exact(emb, threshold=0.9)
+           .collect()}
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - math.cos(0.1)) < 1e-5
+
+
 # --- ANN ----------------------------------------------------------------
 
 def _emb(spark):
