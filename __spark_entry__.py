@@ -486,6 +486,12 @@ def q_image_features(spark, sf):
         .select("media_id", "width", "height")
 
 
+def q_audio_features(spark, sf):
+    media = multimodal.make_media_fixture(spark, n=60)
+    return multimodal.audio_features(media, dims=8) \
+        .select("media_id", "duration_ms", "sample_rate")
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -532,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "linkrank": q_linkrank,
     }
 

@@ -27,6 +27,9 @@ BENCH_QUERIES = [
     "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
     "exact_dedup", "minhash_lsh", "simhash_neardup", "ann_topk",
     "events_hourly", "fetch_politeness",
+    "generate_segments", "domain_stats", "domain_stats_domain",
+    "indexer_deletes", "loops_detect", "linkrank",
+    "simhash_hamming", "ngram_jaccard_exact",
 ]
 
 

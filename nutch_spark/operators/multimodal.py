@@ -87,6 +87,86 @@ def image_features(media: DataFrame, dims: int = 8,
             .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("embedding", ArrayType(FloatType()), True),
+])
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("payload", BinaryType(), True),
+])
+
+
+def audio_features(media: DataFrame, dims: int = 8,
+                   deterministic: bool = True) -> DataFrame:
+    """Decode + feature-extract audio → AUDIO_FEATURES_SCHEMA
+    (duration/sample-rate metadata + a fixed-dim embedding). Same
+    Arrow-batched ``mapInPandas`` shape as ``image_features``; the
+    stub derives duration/rate from the payload digest where a real
+    kernel would read the container header (soundfile/ffmpeg)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg; "
+                    "container has none — deterministic=True exercises "
+                    "the plumbing")
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(b).digest()
+                rows.append({
+                    "media_id": int(mid),
+                    "duration_ms": 100 + digest[2] * 37,
+                    "sample_rate": (8000, 16000, 44100)[digest[3] % 3],
+                    "embedding": _fake_decode(b, dims).tolist(),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "duration_ms", "sample_rate", "embedding"])
+
+    return (media.where(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(run, AUDIO_FEATURES_SCHEMA))
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  deterministic: bool = True) -> DataFrame:
+    """Resize images → RESIZED_SCHEMA (fixed target dims + new
+    payload). The stub re-derives a payload of exactly width×height
+    bytes from the source digest — byte-size behaves like a real
+    thumbnail (bounded, independent of input size), so partition-size
+    planning downstream is realistic; a pillow kernel slots into the
+    same batch loop."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real image resize requires pillow")
+            out = {"media_id": [], "width": [], "height": [],
+                   "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(b).digest()
+                rng = np.random.default_rng(
+                    int.from_bytes(digest[8:16], "big"))
+                out["media_id"].append(int(mid))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(rng.integers(
+                    0, 256, size=width * height,
+                    dtype=np.uint8).tobytes())
+            yield pd.DataFrame(out)
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, RESIZED_SCHEMA))
+
+
 def sample_frames(media: DataFrame, every_n: int = 10,
                   max_frames: int = 4,
                   deterministic: bool = True) -> DataFrame:

@@ -244,6 +244,34 @@ def test_image_features_plumbing(spark):
         == sorted((f.media_id, tuple(f.embedding)) for f in again)
 
 
+def test_audio_features_plumbing(spark):
+    media = multimodal.make_media_fixture(spark, n=30)
+    feats = multimodal.audio_features(media, dims=8).collect()
+    assert len(feats) == len([1 for i in range(30) if i % 3 == 1])
+    assert all(len(f.embedding) == 8 for f in feats)
+    assert all(f.sample_rate in (8000, 16000, 44100) for f in feats)
+    again = multimodal.audio_features(
+        multimodal.make_media_fixture(spark, n=30), dims=8).collect()
+    assert sorted((f.media_id, f.duration_ms, tuple(f.embedding))
+                  for f in feats) \
+        == sorted((f.media_id, f.duration_ms, tuple(f.embedding))
+                  for f in again)
+
+
+def test_resize_images_bounded_payload(spark):
+    media = multimodal.make_media_fixture(spark, n=30)
+    out = multimodal.resize_images(media, width=16, height=12).collect()
+    assert len(out) == len([1 for i in range(30) if i % 3 == 0])
+    # thumbnail contract: output byte-size fixed regardless of input
+    assert all(len(r.payload) == 16 * 12 for r in out)
+    assert all((r.width, r.height) == (16, 12) for r in out)
+    again = multimodal.resize_images(
+        multimodal.make_media_fixture(spark, n=30),
+        width=16, height=12).collect()
+    assert sorted((r.media_id, bytes(r.payload)) for r in out) \
+        == sorted((r.media_id, bytes(r.payload)) for r in again)
+
+
 def test_frame_sampling(spark):
     media = multimodal.make_media_fixture(spark, n=12)
     frames = multimodal.sample_frames(media, every_n=16).collect()
