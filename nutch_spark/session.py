@@ -7,6 +7,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Driver heap default: half of physical RAM, clamped to [8g, 48g].
+
+    In local mode the driver heap IS the executor heap; a fixed small
+    default starves high-core runs — 32 concurrent Arrow-batched tasks
+    each buffer page-byte batches, and an undersized heap turns the
+    parse stage into a GC/GCLocker serial term (measured: heap OOM at
+    8g/32 cores on the 2M-URL cycle). Cluster deployments size
+    executors explicitly and never hit this path."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(max(gb // 2, 8), 48)}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -28,7 +48,7 @@ def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                 os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()))
          # shuffle/spill to tmpfs when available: the container's
          # overlay filesystem serializes concurrent shuffle writes and
          # dominates wall-clock variance at high thread counts
