@@ -84,6 +84,55 @@ def run_frontier_stream(spark: SparkSession, segments_dir: str,
     return writer.start()
 
 
+def stream_first_seen(discovered: DataFrame,
+                      n_buckets: int = 64) -> DataFrame:
+    """Stateful streaming URL-seen filter: emit each url the FIRST
+    time it is discovered across all micro-batches, keyed by url-hash
+    bucket with ``applyInPandasWithState`` (the custom-stateful
+    analog of the batch bloom layer in ``operators/urlseen.py``).
+
+    State per bucket = the sorted array of 64-bit url hashes already
+    seen; a discovery whose hash is present is dropped. Bucketing by
+    ``pmod(xxhash64(url), n_buckets)`` spreads state across
+    partitions, so per-group state stays bounded when ``n_buckets``
+    scales with frontier size — the same sizing rule as the batch
+    bloom buckets. Production note: exact hashes cost 8 B/url of
+    state store; beyond ~10⁸ in-flight urls switch the state payload
+    to bloom bitsets (same group shape, constant size) and let the
+    batch crawldb anti-join own exactness, as the north-rule design
+    does.
+
+    Returns a streaming DataFrame (url, bucket) in update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        urls: list[str] = []
+        for pdf in pdfs:
+            for url, h in zip(pdf["url"], pdf["h"]):
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    urls.append(url)
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"url": urls,
+                            "bucket": [int(key[0])] * len(urls)})
+
+    keyed = (discovered
+             .withColumn("h", F.xxhash64("url"))
+             .withColumn("bucket",
+                         F.pmod(F.col("h"), F.lit(n_buckets))
+                         .cast("int"))
+             .select("bucket", "url", "h"))
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        outputStructType="url string, bucket int",
+        stateStructType="hashes array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def stream_fetch_metrics(crawl_fetch_stream: DataFrame,
                          window: str = "1 minute",
                          watermark: str = "5 minutes") -> DataFrame:

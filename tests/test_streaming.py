@@ -10,7 +10,8 @@ import pytest
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.streaming.frontier import (run_frontier_stream,
-                                            stream_fetch_metrics)
+                                            stream_fetch_metrics,
+                                            stream_first_seen)
 
 
 @pytest.fixture()
@@ -45,6 +46,53 @@ def test_frontier_stream_matches_batch(spark, tmp_path, segment_rows):
     assert statuses["http://s.test/p0"] == "db_fetched"
     assert statuses["http://s.test/p5"] == "db_unfetched"
     assert out.count() == 20
+
+
+def test_stream_first_seen_dedups_across_batches(spark, tmp_path):
+    """applyInPandasWithState URL-seen: a url discovered in batch 0 is
+    suppressed when rediscovered in batch 1 (state persists in the
+    checkpoint across restarts of the availableNow query)."""
+    src = tmp_path / "disc"
+    src.mkdir()
+    ck = str(tmp_path / "ck3")
+    out_dir = str(tmp_path / "firstseen")
+
+    def write_batch(urls, name):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        df.coalesce(1).write.parquet(str(src / name))
+
+    def run_once():
+        stream = spark.readStream.schema("url string") \
+            .parquet(str(src) + "/*")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (stream_first_seen(stream, n_buckets=4)
+             .writeStream.outputMode("update")
+             .foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_batch([f"http://h{i}.test/a" for i in range(6)], "b0")
+    run_once()
+    first = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert first == {f"http://h{i}.test/a" for i in range(6)}
+
+    # batch 1: 3 repeats + 2 new
+    write_batch(["http://h0.test/a", "http://h1.test/a",
+                 "http://h2.test/a", "http://new1.test/a",
+                 "http://new2.test/a"], "b1")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    after = [r.url for r in rows]
+    assert "http://new1.test/a" in after and "http://new2.test/a" in after
+    # repeats were suppressed by the checkpointed state
+    assert after.count("http://h0.test/a") == 1
+    assert after.count("http://h1.test/a") == 1
+    assert after.count("http://h2.test/a") == 1
+    assert all(0 <= r.bucket < 4 for r in rows)
 
 
 def test_stream_fetch_metrics(spark, tmp_path):
