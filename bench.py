@@ -76,6 +76,23 @@ def main() -> None:
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM codegen + Arrow/Python-worker pool startup are
+    # one-time session costs (~5-10 s) that would otherwise be billed
+    # to whichever query runs first; production clusters amortize them
+    # across the job, so exclude them from per-query timings
+    from pyspark.sql import functions as F
+    from nutch_spark.functions.urls import spark_udfs
+    udfs = spark_udfs()
+    warm = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(2000)
+            .select(F.concat(F.lit("http://w.test/"),
+                             F.col("doc_id").cast("string")).alias("u"))
+            .select("u", udfs["canonicalize"](F.col("u")).alias("c"),
+                    udfs["url_hash"](F.col("u")).alias("h"))
+            .repartition(CPUS, "u")
+            .groupBy("h").agg(F.count("*").alias("n")))
+    warm.write.format("noop").mode("overwrite").save()
+
     qs = e.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -49,6 +49,13 @@ def get_spark(app_name: str = "nutch-spark", cores: int | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()))
+         # Arrow transfer buffers for page-byte batches are ~2-4 MB —
+         # humongous for G1's default region size at this heap, which
+         # triggers GCLocker retry stalls across all 32 executor
+         # threads (observed in the 32-core scaling runs). 32 MB
+         # regions keep those allocations in the normal TLAB path.
+         .config("spark.driver.extraJavaOptions",
+                 os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"))
          # shuffle/spill to tmpfs when available: the container's
          # overlay filesystem serializes concurrent shuffle writes and
          # dominates wall-clock variance at high thread counts
