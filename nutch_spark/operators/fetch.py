@@ -73,16 +73,27 @@ def _choose_repr_udf():
     return _f
 
 
-def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
-          http_status: DataFrame | None, cfg: CrawlConfig,
-          round_start_ms: int) -> dict[str, DataFrame]:
-    """Run one fetch round. Returns dict with:
+def schedule_fetchlist(fetchlist: DataFrame, pages: DataFrame,
+                       robots: DataFrame, http_status: DataFrame | None,
+                       cfg: CrawlConfig,
+                       round_start_ms: int) -> DataFrame:
+    """Phase 1 of the fetch round: politeness schedule + protocol-status
+    resolution, entirely on slim columns (html never enters this plan —
+    the only pages-side columns are presence + warc timestamp).
 
-    - ``crawl_fetch``: CRAWLDB-schema rows (fetch_* statuses,
-      fetch_time = virtual completion time);
-    - ``content``: fetched page bytes+text for parse (fetch_success);
-    - ``linked``: redirect-discovered CRAWLDB rows (status=linked,
-      ``_repr_`` metadata) — feed into updatedb.
+    Returns one row per fetchlist item:
+    ``url, retries, fetch_interval, score, metadata, queue_id,
+    virtual_time, fetch_time, _attempted, _pst, _fstatus, redirect_to,
+    content_length, _page_ms``.
+
+    Materialize this frame once per round (persist/localCheckpoint —
+    :func:`fetch` persists it per ``cfg.page_cache_storage``) and derive
+    the three round outputs with :func:`outputs_from_schedule`; the
+    politeness windows and the frontier-side joins then execute exactly
+    once per cycle instead of once per consumer. At 100 TB the window
+    sorts over the full fetchlist are the second-largest shuffle of the
+    cycle — running them once matters as much as keeping page bytes out
+    of them.
     """
     udfs = spark_udfs()
 
@@ -105,10 +116,12 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
     # FIFO order within a queue = HashComparator url-hash order
     # (Generator.java:386-416); row_number only over attempted items —
     # robots-denied URLs are emitted immediately and consume no
-    # politeness slot (FetcherThread.java:254-266).
-    w = Window.partitionBy("queue_id").orderBy("_urlhash", "url")
-    fl = (fl.withColumn("_urlhash", udfs["url_hash"](F.col("url")))
-            .withColumn("_attempted", attempted)
+    # politeness slot (FetcherThread.java:254-266). generate() already
+    # computed _urlhash for its within-partition sort — reuse it when
+    # the fetchlist carries it (one fewer Arrow pass over every url).
+    if "_urlhash" not in fl.columns:
+        fl = fl.withColumn("_urlhash", udfs["url_hash"](F.col("url")))
+    fl = (fl.withColumn("_attempted", attempted)
             .withColumn("_eff_delay", eff_delay))
     wa = Window.partitionBy("queue_id", "_attempted") \
         .orderBy("_urlhash", "url")
@@ -128,15 +141,6 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
                       | (F.col("virtual_time")
                          <= round_start_ms + cfg.fetcher_timelimit_ms))
 
-    # --- the "protocol GET": equi-joins on url --------------------------
-    # the pages side is the 100 TB table — never broadcast it (the
-    # hint pins a shuffle join even when size estimates drift under
-    # the autoBroadcast threshold; a broadcast build here is a serial
-    # driver-side hash build of the whole corpus slice)
-    page_side = pages.select(
-        "url", F.lit(True).alias("_has_page"), "html", "text", "lang",
-        (F.unix_timestamp("warc_ts") * 1000).cast("long")
-        .alias("_page_ms")).hint("shuffle_merge")
     if http_status is not None:
         st = http_status.select("url", "status_code", "redirect_to",
                                 "content_length")
@@ -168,7 +172,18 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
                           < cfg.fetcher_max_exceptions_per_queue))
                 .drop("_exc", "_exc_before"))
 
-    joined = fl.join(page_side, "url", "left")
+    # --- the "protocol GET", metadata half: presence + timestamp -------
+    # the pages side is the 100 TB table — never broadcast it (the
+    # hint pins a shuffle join even when size estimates drift under
+    # the autoBroadcast threshold; a broadcast build here is a serial
+    # driver-side hash build of the whole corpus slice). Only presence
+    # and warc_ts join here; the html/text columns join in
+    # outputs_from_schedule() against the success subset alone.
+    page_meta = pages.select(
+        "url", F.lit(True).alias("_has_page"),
+        (F.unix_timestamp("warc_ts") * 1000).cast("long")
+        .alias("_page_ms")).hint("shuffle_merge")
+    joined = fl.join(page_meta, "url", "left")
 
     code = F.coalesce(
         F.col("status_code"),
@@ -194,31 +209,31 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
          .when(pst == PST_NOTMODIFIED, FETCH_NOTMODIFIED)
          .otherwise(FETCH_RETRY))
 
+    return (joined
+            .withColumn("_pst", pst)
+            .withColumn("_fstatus", fetch_status)
+            .withColumn("fetch_time",
+                        F.when(F.col("_attempted"), F.col("virtual_time"))
+                         .otherwise(F.lit(round_start_ms)).cast("long"))
+            .select("url", "retries", "fetch_interval", "score",
+                    "metadata", "queue_id", "virtual_time", "fetch_time",
+                    "_attempted", "_pst", "_fstatus", "redirect_to",
+                    "content_length", "_page_ms"))
+
+
+def outputs_from_schedule(scheduled: DataFrame, pages: DataFrame,
+                          cfg: CrawlConfig) -> dict[str, DataFrame]:
+    """Phase 2: derive the three round outputs from the (ideally
+    materialized) schedule. ``crawl_fetch`` and ``linked`` are pure
+    projections; ``content`` is the single place page bytes are read —
+    an url-equi join of the success subset against the pages table."""
+    udfs = spark_udfs()
     empty_map = F.create_map().cast("map<string,string>")
-    out_meta = F.map_concat(
-        F.coalesce(F.col("metadata"), empty_map),
-        F.create_map(F.lit(META_PROTOCOL_STATUS), pst))
 
-    result = (joined
-              .withColumn("_pst", pst)
-              .withColumn("_fstatus", fetch_status)
-              .withColumn("_out_meta", out_meta))
-    # shared by the three output projections; the frame carries page
-    # bytes, so the level is configurable. "NONE" skips the persist:
-    # each output then recomputes the (cheap, slim) schedule+join plan,
-    # and Catalyst prunes html/text out of the crawl_fetch and linked
-    # plans entirely — only the content output ever moves page bytes.
-    # On a memory-bandwidth-bound host NONE scales better than caching
-    # the html-laden frame (BENCH.md hardware canaries).
-    if cfg.page_cache_storage != "NONE":
-        from pyspark import StorageLevel
-        result.persist(getattr(StorageLevel, cfg.page_cache_storage))
-
-    crawl_fetch = result.select(
+    crawl_fetch = scheduled.select(
         "url",
         F.col("_fstatus").alias("status"),
-        F.when(F.col("_attempted"), F.col("virtual_time"))
-         .otherwise(F.lit(round_start_ms)).cast("long").alias("fetch_time"),
+        F.col("fetch_time"),
         F.col("retries"),
         F.col("fetch_interval"),
         F.col("score"),
@@ -226,13 +241,21 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
         F.coalesce(F.when(F.col("_fstatus") == FETCH_SUCCESS,
                           F.col("_page_ms")), F.lit(0))
          .cast("long").alias("modified_time"),
-        F.col("_out_meta").alias("metadata"),
+        F.map_concat(F.coalesce(F.col("metadata"), empty_map),
+                     F.create_map(F.lit(META_PROTOCOL_STATUS),
+                                  F.col("_pst"))).alias("metadata"),
         F.col("queue_id"),
         F.col("virtual_time"),
     )
 
-    content = (result
+    # the html/text pass: success rows only, shuffle join pinned (the
+    # pages side never broadcasts), one traversal of page bytes per
+    # round
+    page_body = pages.select("url", "html", "text", "lang") \
+        .hint("shuffle_merge")
+    content = (scheduled
                .where(F.col("_fstatus") == FETCH_SUCCESS)
+               .join(page_body, "url", "left")
                .where(F.col("content_length").isNull()
                       | (F.col("content_length") <= F.length("html")))
                .select("url", "html", "text", "lang",
@@ -240,7 +263,7 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
                        "score", "fetch_interval", "metadata"))
 
     # --- redirects → linked rows (FetcherThread.java:425-509) -----------
-    redirs = (result
+    redirs = (scheduled
               .where(F.col("_fstatus").isin(FETCH_REDIR_PERM,
                                             FETCH_REDIR_TEMP)
                      & F.col("redirect_to").isNotNull())
@@ -273,7 +296,38 @@ def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
     )
 
     return {"crawl_fetch": crawl_fetch, "content": content,
-            "linked": linked}
+            "linked": linked, "schedule": scheduled}
+
+
+def fetch(fetchlist: DataFrame, pages: DataFrame, robots: DataFrame,
+          http_status: DataFrame | None, cfg: CrawlConfig,
+          round_start_ms: int) -> dict[str, DataFrame]:
+    """Run one fetch round. Returns dict with:
+
+    - ``crawl_fetch``: CRAWLDB-schema rows (fetch_* statuses,
+      fetch_time = virtual completion time);
+    - ``content``: fetched page bytes+text for parse (fetch_success);
+    - ``linked``: redirect-discovered CRAWLDB rows (status=linked,
+      ``_repr_`` metadata) — feed into updatedb;
+    - ``schedule``: the shared phase-1 frame (slim; persisted at
+      ``cfg.page_cache_storage`` unless "NONE").
+
+    Composition of :func:`schedule_fetchlist` (politeness windows +
+    status resolution, slim columns, persisted so it computes once per
+    round) and :func:`outputs_from_schedule` (projections + the single
+    page-bytes join). Callers that commit stages to tables can instead
+    localCheckpoint the schedule between the phases.
+    """
+    scheduled = schedule_fetchlist(fetchlist, pages, robots, http_status,
+                                   cfg, round_start_ms)
+    # slim reuse cache: ~14 small columns per fetchlist row, no page
+    # bytes — safe to persist even at production round sizes (the old
+    # design cached the html-joined frame and had to default to NONE
+    # on memory-bandwidth-bound hosts)
+    if cfg.page_cache_storage != "NONE":
+        from pyspark import StorageLevel
+        scheduled.persist(getattr(StorageLevel, cfg.page_cache_storage))
+    return outputs_from_schedule(scheduled, pages, cfg)
 
 
 def fetch_metrics(crawl_fetch: DataFrame) -> DataFrame:

@@ -176,7 +176,10 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
           # TakeOrderedAndProject (per-partition heaps + merge)
           .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
           .sortWithinPartitions("_urlhash")
-          .drop("_sort", "_hostordomain", "_urlhash"))
+          # _urlhash stays in the output: the fetcher's FIFO windows
+          # order by the same hash (fetch.schedule_fetchlist reuses the
+          # column instead of re-running the Arrow UDF over every url)
+          .drop("_sort", "_hostordomain"))
     return df
 
 

@@ -40,30 +40,28 @@ def timed_cycle(spark, crawldb, pages, cores: int) -> dict:
 
     cfg = e.CFG.with_(generate_top_n=-1, generate_filter=False,
                       num_fetch_partitions=cores * 2,
-                      page_cache_storage=os.environ.get(
-                          "SPARK_GRAFT_PAGE_CACHE", "NONE"))
+                      page_cache_storage="NONE")
     t0 = time.time()
-    fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
-                         gen_time_ms=e.CUR_TIME_MS) \
-        .localCheckpoint(eager=True)
-    t0 = mark("generate", t0)
     robots = spark.createDataFrame(
         [], "authority string, robots_txt string, fetch_code int")
-    fr = fetch_op.fetch(fl, pages, robots, None, cfg, e.CUR_TIME_MS)
-    # crawl_fetch is consumed twice (count + updatedb) — checkpoint the
-    # slim frame; content flows straight into parse (one pass over the
-    # page bytes, no intermediate materialization); linked is slim and
-    # recomputed lazily inside the updatedb union.
-    crawl_fetch = fr["crawl_fetch"].localCheckpoint(eager=True)
-    t0 = mark("fetch_crawl_fetch", t0)
+    # two-phase fetch, mirroring scripts/scaling.one_cycle: generate
+    # flows into the politeness schedule, which is the cycle's single
+    # materialization point for the frontier side
+    fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
+                         gen_time_ms=e.CUR_TIME_MS)
+    sched = fetch_op.schedule_fetchlist(
+        fl, pages, robots, None, cfg, e.CUR_TIME_MS) \
+        .localCheckpoint(eager=True)
+    t0 = mark("generate_schedule", t0)
+    fr = fetch_op.outputs_from_schedule(sched, pages, cfg)
     pr = parse_op.parse_segment(fr["content"], cfg, e.CUR_TIME_MS)
     crawl_parse = pr["crawl_parse"].localCheckpoint(eager=True)
     t0 = mark("parse", t0)
-    msgs = (crawl_fetch.drop("queue_id", "virtual_time")
+    msgs = (fr["crawl_fetch"].drop("queue_id", "virtual_time")
             .unionByName(crawl_parse)
             .unionByName(fr["linked"]))
     out = update_op.updatedb(crawldb, msgs, cfg, e.CUR_TIME_MS)
-    n = crawl_fetch.count()
+    n = fr["crawl_fetch"].count()
     t0 = mark("count", t0)
     out.write.format("noop").mode("overwrite").save()
     mark("updatedb_write", t0)
@@ -77,18 +75,30 @@ def main() -> None:
     from scripts.scaling import scaled_inputs
     from nutch_spark.session import get_spark
 
+    import shutil
+
+    base = f"/dev/shm/profile-inputs-{cores}"
+    shutil.rmtree(base, ignore_errors=True)
     spark = get_spark(app_name=f"profile-{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.sql.warehouse.dir": base})
     spark.sparkContext.setLogLevel("ERROR")
-    crawldb, pages = scaled_inputs(spark, SF_DIR, REPL)
-    crawldb = crawldb.repartition(cores * 2, "url").cache()
-    pages = pages.repartition(cores * 2, "url").cache()
-    crawldb.count(), pages.count()
+    # bucketed input tables — the Iceberg bucket(url, N) stand-in; see
+    # scripts/scaling.run_level
+    crawldb0, pages0 = scaled_inputs(spark, SF_DIR, REPL)
+    crawldb0.write.mode("overwrite").bucketBy(cores * 2, "url") \
+        .sortBy("url").saveAsTable("crawldb_t")
+    pages0.write.mode("overwrite").bucketBy(cores * 2, "url") \
+        .sortBy("url").saveAsTable("pages_t")
+    crawldb = spark.table("crawldb_t")
+    pages = spark.table("pages_t")
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for i in range(CYCLES):
         t = timed_cycle(spark, crawldb, pages, cores)
         print(json.dumps({"cores": cores, "cycle": i, **t}), flush=True)
         spark.catalog.clearCache()
-        crawldb.cache().count(), pages.cache().count()
+        jvm_gc()
+    shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -81,34 +81,31 @@ def one_cycle(spark, crawldb, pages, cores: int) -> int:
                                        parse as parse_op,
                                        updatedb as update_op)
 
-    # page_cache_storage NONE: the fetch-side reuse cache is skipped,
-    # so crawl_fetch/linked compile to column-pruned plans that never
-    # touch html, and page bytes flow exactly once (pages join →
-    # parse UDF). On this memory-bandwidth-bound host (see the
-    # canaries in BENCH.md) every avoided copy of the html column
-    # buys back scaling headroom at high core counts.
     cfg = e.CFG.with_(generate_top_n=-1, generate_filter=False,
                       num_fetch_partitions=cores * 2,
                       page_cache_storage="NONE")
-    # stage boundaries mirror the real cycle driver (crawl.py), which
-    # commits each stage to a table: severing lineage keeps every
-    # action's plan small. Only frames consumed twice are
-    # checkpointed — content/linked flow lazily into their single
-    # consumer instead of being materialized a second time.
-    fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
-                         gen_time_ms=e.CUR_TIME_MS) \
-        .localCheckpoint(eager=True)
     robots = spark.createDataFrame(
         [], "authority string, robots_txt string, fetch_code int")
-    fr = fetch_op.fetch(fl, pages, robots, None, cfg, e.CUR_TIME_MS)
-    crawl_fetch = fr["crawl_fetch"].localCheckpoint(eager=True)
+    # two-phase fetch: generate flows straight into the politeness
+    # schedule, which is materialized ONCE (localCheckpoint severs
+    # lineage and keeps every later plan small). crawl_fetch / content
+    # / linked are then projections of the slim checkpointed schedule —
+    # the windows and the frontier joins run once per cycle instead of
+    # once per consumer, and the html join touches only success rows.
+    fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
+                         gen_time_ms=e.CUR_TIME_MS)
+    sched = fetch_op.schedule_fetchlist(
+        fl, pages, robots, None, cfg, e.CUR_TIME_MS) \
+        .localCheckpoint(eager=True)
+    fr = fetch_op.outputs_from_schedule(sched, pages, cfg)
+    # parse_segment persists its slim parsed output internally
+    # (parse_cache_storage default), so the parse UDF also runs once
     pr = parse_op.parse_segment(fr["content"], cfg, e.CUR_TIME_MS)
-    crawl_parse = pr["crawl_parse"].localCheckpoint(eager=True)
-    msgs = (crawl_fetch.drop("queue_id", "virtual_time")
-            .unionByName(crawl_parse)
+    msgs = (fr["crawl_fetch"].drop("queue_id", "virtual_time")
+            .unionByName(pr["crawl_parse"])
             .unionByName(fr["linked"]))
     out = update_op.updatedb(crawldb, msgs, cfg, e.CUR_TIME_MS)
-    n = crawl_fetch.count()
+    n = fr["crawl_fetch"].count()
     out.write.format("noop").mode("overwrite").save()
     return n
 
@@ -125,32 +122,50 @@ def run_level(cores: int, max_cycles: int = 12) -> dict:
     and report the best observed cycle."""
     from nutch_spark.session import get_spark
 
+    import shutil
+
+    base = f"/dev/shm/scaling-inputs-{cores}"
+    shutil.rmtree(base, ignore_errors=True)
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.sql.warehouse.dir": base})
     spark.sparkContext.setLogLevel("ERROR")
-    crawldb, pages = scaled_inputs(spark, SF_DIR, REPL)
-    # production layout: pages + crawldb are Iceberg tables
-    # bucket-partitioned by url (SURVEY.md §1.1), so url-keyed joins
-    # and the updatedb groupBy are storage-partitioned — no shuffle of
-    # the wide html rows. Model that here by hash-partitioning the
-    # cached inputs on url; Catalyst reuses InMemoryTableScan's
-    # partitioning and only exchanges the slim fetchlist side.
-    crawldb = crawldb.repartition(cores * 2, "url").cache()
-    pages = pages.repartition(cores * 2, "url").cache()
-    crawldb.count(), pages.count()
+    # production layout: pages + crawldb are Iceberg tables stored
+    # bucket-partitioned by url-hash (SURVEY.md §1.1, north rule).
+    # Model that with Spark BUCKETED tables on tmpfs: the scan carries
+    # the hash-partitioning, so the fetch round's pages-side joins
+    # (page presence + page bytes) run with NO exchange on the 100 TB
+    # side — only the slim fetchlist ever shuffles. On this
+    # bandwidth-capped host that removes the largest memory-traffic
+    # term; on a real cluster it is exactly Iceberg's
+    # bucket(url, N) storage-partitioned join.
+    crawldb0, pages0 = scaled_inputs(spark, SF_DIR, REPL)
+    crawldb0.write.mode("overwrite").bucketBy(cores * 2, "url") \
+        .sortBy("url").saveAsTable("crawldb_t")
+    pages0.write.mode("overwrite").bucketBy(cores * 2, "url") \
+        .sortBy("url").saveAsTable("pages_t")
+    crawldb = spark.table("crawldb_t")
+    pages = spark.table("pages_t")
     times, urls = [], 0
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for i in range(max_cycles):
         t0 = time.time()
         urls = one_cycle(spark, crawldb, pages, cores)
         times.append(time.time() - t0)
         print(f"# cycle {i}: {times[-1]:.1f}s", file=sys.stderr)
+        # free the cycle's materializations before the next one: the
+        # parse reuse cache (catalog) and the checkpointed schedule
+        # blocks (released by ContextCleaner once the JVM GCs the RDD
+        # handles) — otherwise dead blocks accumulate across cycles
+        # and turn later cycles into GC/eviction noise
         spark.catalog.clearCache()
-        crawldb.cache().count(), pages.cache().count()
+        jvm_gc()
         if (len(times) >= 4
                 and times[-1] < min(times[:-1]) * 1.1
                 and times[-2] < min(times[:-2]) * 1.15):
             break
     sec = min(times)
+    shutil.rmtree(base, ignore_errors=True)
     return {"cores": cores, "sec": round(sec, 2), "urls": urls,
             "urls_per_sec": round(urls / sec, 1),
             "cycles": [round(t, 1) for t in times]}
@@ -222,15 +237,21 @@ def main() -> None:
     canaries = run_canaries()
     print(json.dumps({"canaries": canaries}), flush=True)
 
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    # the sandbox is a shared VM whose deliverable CPU/bandwidth drifts
+    # by 1.5-2x on a minutes timescale (measured; see BENCH.md). A
+    # sequential low-then-high protocol aliases that drift into the
+    # efficiency number, so the levels are INTERLEAVED across `reps`
+    # rounds, each JVM run bracketed by a CPU canary, and the per-level
+    # minimum (the least-interfered window) is compared.
     results = {}
-    for cores in (LOW, HIGH):
-        best = None
-        for _ in range(reps):
+    for rep in range(reps):
+        for cores in (LOW, HIGH):
             # pin the whole process tree (JVM + Python UDF workers) to
             # exactly `cores` CPUs — in local mode Python workers
             # would otherwise run on CPUs beyond the executor thread
             # count and inflate the low-parallelism baseline
+            canary_before = round(_cpu_canary(cores) / 1e6, 1)
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cores - 1}", sys.executable,
                  __file__, "--cores", str(cores)],
@@ -240,10 +261,12 @@ def main() -> None:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             r = json.loads(line)
-            print(r)
+            r["cpu_canary_mops"] = canary_before
+            r["rep"] = rep
+            print(r, flush=True)
+            best = results.get(cores)
             if best is None or r["sec"] < best["sec"]:
-                best = r
-        results[cores] = best
+                results[cores] = r
 
     t_low, t_high = results[LOW]["sec"], results[HIGH]["sec"]
     eff = (t_low * LOW) / (t_high * HIGH)
@@ -263,11 +286,17 @@ def main() -> None:
 Protocol (SURVEY.md §6): identical fetch-cycle workload (generate →
 fetch w/ virtual-time politeness → parse → updatedb) over a derived
 CC-style frontier of {results[LOW]['urls']:,} URLs
-(documents ×{REPL} at {SF_DIR}), run at two parallelism levels in
+(documents ×{REPL} at {SF_DIR}, stored as url-partitioned parquet on
+tmpfs — the Iceberg-table stand-in), run at two parallelism levels in
 separate JVMs pinned to exactly that many CPUs via taskset, shuffle
 partitions = 2×cores, warmup cycles excluded (steady-state best of
-{max(len(results[LOW]['cycles']), len(results[HIGH]['cycles']))} cycles),
-no concurrent load.
+up to {max(len(results[LOW]['cycles']), len(results[HIGH]['cycles']))}
+cycles). Because the sandbox VM's deliverable CPU drifts 1.5-2× on a
+minutes timescale, the two levels are interleaved across {reps}
+repetition rounds, each run bracketed by a CPU canary, and the
+per-level minimum (least-interfered window) is compared:
+N best {results[LOW]['sec']} s (canary {results[LOW].get('cpu_canary_mops')} Mops/s, rep {results[LOW].get('rep')}),
+4N best {results[HIGH]['sec']} s (canary {results[HIGH].get('cpu_canary_mops')} Mops/s, rep {results[HIGH].get('rep')}).
 
 | cores | wall (s) | URLs/s | URLs/s/core |
 |---|---|---|---|
