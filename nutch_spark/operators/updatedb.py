@@ -50,12 +50,25 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     """Merge the existing crawldb with per-round message rows
     (fetch statuses, linked, signature, parse_meta) into the next
     crawldb snapshot. All inputs share the CRAWLDB schema."""
+    # join mode: when the db side is not being re-normalized/re-keyed
+    # (both off by default), the crawldb has unique urls and the merge
+    # is equivalently a full-outer join of (messages aggregated by url)
+    # with the db. The win is at frontier scale: a url-bucketed crawldb
+    # table (Iceberg bucket(url,N); see crawl.py) then joins with NO
+    # exchange — the 10^10-row frontier never shuffles, only the
+    # per-round messages do. The union+groupBy path remains for
+    # normalize/filter mode, where db rows themselves re-key and may
+    # collapse (CrawlDbFilter.java:91-108).
+    db = None
+    join_mode = (crawldb is not None and not cfg.db_update_normalize
+                 and not cfg.db_update_filter)
     if crawldb is not None:
         db = crawldb
         # CrawlDbFilter 404-purge (CrawlDbFilter.java:87-89)
         if cfg.db_update_purge_404:
             db = db.where(F.col("status") != DB_GONE)
-        messages = db.unionByName(messages)
+        if not join_mode:
+            messages = db.unionByName(messages)
 
     # CrawlDbFilter normalize + filter + re-key (CrawlDbFilter.java:91-108,
     # crawldb.url.normalizers / crawldb.url.filters, both default off):
@@ -111,9 +124,7 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
                         "modified_time")
     score_key = F.struct("score", "fetch_time", "retries",
                          "fetch_interval", "modified_time")
-    agg = df.groupBy("url").agg(
-        F.max_by(F.when(is_db, _struct()),
-                 F.when(is_db, time_key)).alias("old"),
+    msg_aggs = [
         F.max_by(F.when(is_fetch, _struct()),
                  F.when(is_fetch, time_key)).alias("fetch0"),
         F.max_by(F.when(is_link, F.struct(
@@ -128,7 +139,25 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
         F.first(F.when(F.col("_kind") == STATUS_PARSE_META,
                        F.col("metadata")), ignorenulls=True)
          .alias("parse_meta"),
-    )
+    ]
+    if join_mode:
+        # messages may still carry db-status rows (callers that merge
+        # snapshots through the message stream); honor them, preferring
+        # the authoritative db-side row when both exist
+        magg = df.groupBy("url").agg(
+            F.max_by(F.when(is_db, _struct()),
+                     F.when(is_db, time_key)).alias("_old_msg"),
+            *msg_aggs)
+        agg = (magg.join(db.select("url", _struct().alias("_old_db")),
+                         "url", "full_outer")
+               .withColumn("old", F.coalesce(F.col("_old_db"),
+                                             F.col("_old_msg")))
+               .drop("_old_db", "_old_msg"))
+    else:
+        agg = df.groupBy("url").agg(
+            F.max_by(F.when(is_db, _struct()),
+                     F.when(is_db, time_key)).alias("old"),
+            *msg_aggs)
 
     old = F.col("old")
     has_old = old.isNotNull()
