@@ -118,7 +118,7 @@ def one_cycle(spark, crawldb, pages, cores: int) -> int:
     return n
 
 
-def run_level(cores: int, max_cycles: int = 12) -> dict:
+def run_level(cores: int, max_cycles: int = 8) -> dict:
     """Steady-state cycle time at one parallelism level.
 
     A cold JVM takes several cycles to reach steady state (C2

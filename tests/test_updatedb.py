@@ -264,3 +264,23 @@ def test_adaptive_schedule_intervals(spark):
     nmod = rows["http://not.ex/"]
     assert nmod["status"] == "db_notmodified"
     assert nmod["fetch_interval"] == int(INTERVAL * 1.2)
+
+
+def test_join_mode_equals_union_mode(spark):
+    """updatedb's bucketed-friendly join path (db passed separately,
+    normalize/filter off) must agree row-for-row with the legacy
+    union+groupBy semantics (db rows fed through the message stream) —
+    the two are the same reduce over a re-keyed vs keyed frontier."""
+    cases = build_matrix()
+    old_rows = [c[1] for c in cases if c[1] is not None]
+    msg_rows = [c[2] for c in cases if c[2] is not None]
+    for c in cases:
+        msg_rows.extend(c[3])
+    db = crawldb_df(spark, old_rows)
+    msgs = crawldb_df(spark, msg_rows)
+    joined = by_url(updatedb(db, msgs, DEFAULT, NOW))
+    # union semantics: db rows travel with the messages (db=None)
+    unioned = by_url(updatedb(None, db.unionByName(msgs), DEFAULT, NOW))
+    assert set(joined) == set(unioned)
+    mismatches = [u for u in joined if joined[u] != unioned[u]]
+    assert not mismatches, mismatches[:5]
