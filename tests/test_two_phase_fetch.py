@@ -82,7 +82,6 @@ def test_content_joins_success_subset_once(spark):
 
 @pytest.fixture()
 def bucketed_db(spark, tmp_path):
-    spark.conf.set("spark.sql.warehouse.dir", str(tmp_path / "wh"))
     rows = [datum(f"http://h{i % 5}.test/p{i}", "db_unfetched",
                   fetch_time=0, score=1.0) for i in range(200)]
     crawldb_df(spark, rows).write.mode("overwrite") \
@@ -104,12 +103,13 @@ def test_updatedb_join_mode_bucketed_no_db_exchange(spark, bucketed_db):
     out = update_op.updatedb(bucketed_db, msgs, DEFAULT, NOW)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
-    # comparative shuffle count: feeding the same db through the
-    # message stream (legacy union+groupBy) must cost strictly more
-    # exchanges than join mode, which reuses the bucketed layout
-    union_out = update_op.updatedb(
-        None, bucketed_db.unionByName(msgs), DEFAULT, NOW)
-    union_plan = union_out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") < union_plan.count("Exchange")
+    # comparative shuffle count: the same db stored WITHOUT bucketing
+    # must cost exactly one more exchange (the db side of the merge
+    # join); bucketing removes it — the frontier never shuffles
+    flat = bucketed_db.sparkSession.createDataFrame(
+        bucketed_db.collect(), bucketed_db.schema)
+    flat_plan = update_op.updatedb(flat, msgs, DEFAULT, NOW) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == flat_plan.count("Exchange") - 1
     # and the result must still be correct: 200 db rows survive
     assert out.count() == 200
