@@ -156,8 +156,10 @@ def schedule_fetchlist(fetchlist: DataFrame, pages: DataFrame,
     # later items vanish (they stay unfetched in the crawldb, exactly
     # like the reference's emptyQueue). Evaluated on the slim
     # fetchlist+status frame so the purge window never shuffles page
-    # bytes; exceptions exist only where a status feed reports 5xx.
-    if cfg.fetcher_max_exceptions_per_queue >= 0:
+    # bytes; exceptions exist only where a status feed reports 5xx —
+    # without a feed no row can be an exception, so the whole window
+    # pass (a shuffle+sort of the fetchlist) is skipped.
+    if cfg.fetcher_max_exceptions_per_queue >= 0 and http_status is not None:
         exc = (F.col("_attempted")
                & (F.coalesce(F.col("status_code"), F.lit(200)) >= 500))
         wexc = Window.partitionBy("queue_id").orderBy("_k") \
