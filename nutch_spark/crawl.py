@@ -41,7 +41,20 @@ class CrawlRun:
     def __init__(self, spark: SparkSession, out_dir: str,
                  cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame, http_status: DataFrame | None = None,
-                 use_bloom: bool = True, bloom_buckets: int = 64):
+                 use_bloom: bool = True, bloom_buckets: int = 64,
+                 storage: str = "bucketed", db_buckets: int = 32):
+        """``storage``:
+
+        - ``"bucketed"`` (default, the production layout): crawldb
+          snapshots are url-bucketed :class:`~nutch_spark.storage.
+          SnapshotTable` commits — Iceberg ``bucket(url, N)`` semantics.
+          The frontier side of the updatedb merge and (when ``pages``
+          is itself a bucketed table) the two pages-side fetch joins
+          run with NO Exchange on the big side.
+        - ``"parquet"``: plain per-round parquet snapshot dirs with the
+          reference's current/old install dance — simpler, but the
+          frontier re-shuffles every round.
+        """
         self.spark = spark
         self.out = out_dir
         self.cfg = cfg
@@ -50,6 +63,15 @@ class CrawlRun:
         self.http_status = http_status
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
+        if storage not in ("bucketed", "parquet"):
+            raise ValueError(f"storage must be bucketed|parquet: {storage}")
+        self.storage = storage
+        self.db_table = None
+        if storage == "bucketed":
+            from .storage import SnapshotTable
+            self.db_table = SnapshotTable(spark, out_dir, "crawldb",
+                                          bucket_col="url",
+                                          n_buckets=db_buckets)
         self.metrics: list[dict] = []
 
     # --- checkpoint helpers --------------------------------------------
@@ -57,20 +79,15 @@ class CrawlRun:
         p = os.path.join(self.out, name)
         return p if rnd is None else os.path.join(p, f"round={rnd}")
 
-    def _write(self, df: DataFrame, name: str, rnd: int | None = None,
-               partition_by: str | None = None) -> DataFrame:
-        """Atomic snapshot install (CrawlDb.java:155-173 / Iceberg
-        ``overwritePartitions`` semantics on a cluster): the table is
-        written to a temp dir, a ``_snapshot.json`` commit record is
-        added only after the write fully succeeds, and the directory
-        is then installed with the reference's current/old rename
-        dance. A crash at ANY point leaves either the previous
-        committed snapshot in place or a temp dir that resume ignores —
-        never a half-written table that :meth:`resume_round` would
-        treat as committed."""
+    def _write_tmp(self, df: DataFrame, name: str,
+                   rnd: int | None = None,
+                   partition_by: str | None = None) -> DataFrame:
+        """Stage half of the atomic install: write the table to the
+        ``.tmp`` dir (durable, but NOT yet committed — resume ignores
+        it) and return a read of the staged data. :meth:`_install`
+        performs the commit; :meth:`_write` composes both."""
         path = self._path(name, rnd)
         tmp = path + ".tmp"
-        old = path + ".old"
         if os.path.isdir(tmp):
             import shutil
             shutil.rmtree(tmp)
@@ -78,6 +95,16 @@ class CrawlRun:
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(tmp)
+        return self.spark.read.parquet(tmp)
+
+    def _install(self, name: str, rnd: int | None = None) -> DataFrame:
+        """Commit half: stamp the ``_snapshot.json`` commit record and
+        install with the reference's current/old rename dance
+        (CrawlDb.install). A crash before this point leaves only the
+        ``.tmp`` dir, which resume ignores."""
+        path = self._path(name, rnd)
+        tmp = path + ".tmp"
+        old = path + ".old"
         with open(os.path.join(tmp, "_snapshot.json"), "w") as f:
             json.dump({"name": name, "round": rnd, "ts": time.time(),
                        "rows": None}, f)
@@ -93,6 +120,20 @@ class CrawlRun:
             import shutil
             shutil.rmtree(old)
         return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, name: str, rnd: int | None = None,
+               partition_by: str | None = None) -> DataFrame:
+        """Atomic snapshot install (CrawlDb.java:155-173 / Iceberg
+        ``overwritePartitions`` semantics on a cluster): the table is
+        written to a temp dir, a ``_snapshot.json`` commit record is
+        added only after the write fully succeeds, and the directory
+        is then installed with the reference's current/old rename
+        dance. A crash at ANY point leaves either the previous
+        committed snapshot in place or a temp dir that resume ignores —
+        never a half-written table that :meth:`resume_round` would
+        treat as committed."""
+        self._write_tmp(df, name, rnd, partition_by)
+        return self._install(name, rnd)
 
     @staticmethod
     def _committed(path: str) -> bool:
@@ -110,11 +151,18 @@ class CrawlRun:
 
     def resume_round(self) -> int:
         """Latest *committed* crawldb round, or -1 if none (the
-        resumability contract: restart continues from here). Only
-        rounds carrying a ``_snapshot.json`` commit record count —
-        ``.tmp``/``.old`` leftovers from a crash mid-install are
-        ignored, mirroring the reference's current/old install where
-        an interrupted install leaves ``current`` untouched."""
+        resumability contract: restart continues from here).
+
+        Bucketed mode: the SnapshotTable's current pointer — a staged
+        but unpublished snapshot is invisible, exactly like Iceberg's
+        metadata swap. Parquet mode: only rounds carrying a
+        ``_snapshot.json`` commit record count — ``.tmp``/``.old``
+        leftovers from a crash mid-install are ignored, mirroring the
+        reference's current/old install where an interrupted install
+        leaves ``current`` untouched."""
+        if self.db_table is not None:
+            cur = self.db_table.current_id()
+            return -1 if cur is None else cur
         base = os.path.join(self.out, "crawldb")
         if not os.path.isdir(base):
             return -1
@@ -125,15 +173,52 @@ class CrawlRun:
         return max(rounds) if rounds else -1
 
     def load_crawldb(self, rnd: int) -> DataFrame:
+        if self.db_table is not None:
+            return self.db_table.read(rnd)
         return self.spark.read.parquet(self._path("crawldb", rnd))
+
+    def _stage_crawldb(self, df: DataFrame, rnd: int) -> DataFrame:
+        """Durable-but-uncommitted crawldb write for round ``rnd``."""
+        if self.db_table is not None:
+            return self.db_table.stage(df, rnd)
+        return self._write_tmp(df, "crawldb", rnd)
+
+    def _commit_crawldb(self, rnd: int) -> DataFrame:
+        """Make round ``rnd``'s staged crawldb the committed snapshot —
+        the round's resume marker, always the round's LAST write."""
+        if self.db_table is not None:
+            staged = self.spark.table(self.db_table._table_name(rnd))
+            self.db_table.publish(staged, rnd)
+            return self.db_table.read(rnd)
+        return self._install("crawldb", rnd)
+
+    def _load_bloom(self, rnd: int) -> DataFrame | None:
+        """Committed URL-seen bloom layer for round ``rnd`` (covers
+        that round's crawldb snapshot), or None."""
+        if not self.use_bloom or rnd < 0:
+            return None
+        path = self._path("urlseen_bloom", rnd)
+        if not self._committed(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _write_bloom(self, db: DataFrame, rnd: int) -> None:
+        bloom = urlseen.build_bloom(db.select("url"),
+                                    n_buckets=self.bloom_buckets)
+        self._write(bloom, "urlseen_bloom", rnd)
 
     # --- stages --------------------------------------------------------
     def inject(self, seeds: DataFrame, now_ms: int) -> DataFrame:
         prev = self.resume_round()
         db = self.load_crawldb(prev) if prev >= 0 else None
         new_db = inject_op.inject(db, seeds, self.cfg, now_ms)
-        out = self._write(new_db, "crawldb", max(prev, 0))
-        self._metric(max(prev, 0), "inject", rows=out.count())
+        rnd = max(prev, 0)
+        staged = self._stage_crawldb(new_db, rnd)
+        if self.use_bloom:
+            # round 1 pre-splits its discoveries against the seed set
+            self._write_bloom(staged, rnd)
+        out = self._commit_crawldb(rnd)
+        self._metric(rnd, "inject", rows=out.count())
         return out
 
     def run_round(self, rnd: int, now_ms: int) -> dict:
@@ -174,16 +259,47 @@ class CrawlRun:
         self._metric(rnd, "parse", rows=parse_text.count(),
                      sec=time.time() - t0)
 
-        # URL-seen bloom prefilter: discovered linked rows that are
-        # definitely new skip nothing semantically (updatedb handles
-        # both), but pre-splitting lets the huge frontier join see
-        # only bloom hits; correctness stays exact.
+        # URL-seen bloom pre-split (north rule's partitioned-bloom
+        # URL-seen layer): discovered linked rows that the previous
+        # round's bloom rules out are DEFINITELY not in the frontier,
+        # so they go through a db-less updatedb aggregation and never
+        # enter the frontier merge — only bloom hits (true seen +
+        # ~fpp false positives, which the merge itself resolves
+        # exactly) reach the 10^10-row db join. Correctness is exact:
+        # blooms have no false negatives, and the split is skipped in
+        # normalize/filter mode where message urls may re-key into
+        # frontier urls after the split decision.
         t0 = time.time()
         messages = crawl_fetch.drop("queue_id", "virtual_time") \
             .unionByName(crawl_parse)
-        new_db = update_op.updatedb(db, messages, cfg, now_ms)
+        bloom = self._load_bloom(rnd - 1)
+        can_split = (bloom is not None and not cfg.db_update_normalize
+                     and not cfg.db_update_filter)
+        if can_split:
+            linked = messages.where(F.col("status") == S.STATUS_LINKED)
+            others = messages.where(F.col("status") != S.STATUS_LINKED)
+            new_rows, maybe = urlseen.split_seen(linked, bloom)
+            self.debug_split = {"new": new_rows, "maybe": maybe}
+            merged = update_op.updatedb(db, others.unionByName(maybe),
+                                        cfg, now_ms)
+            # fresh urls: same state machine, no frontier side at all
+            # (old = null ⇒ the link_new branch; additions_allowed
+            # off drops them exactly as the merge would)
+            fresh = update_op.updatedb(None, new_rows, cfg, now_ms)
+            new_db = merged.unionByName(fresh)
+        else:
+            new_db = update_op.updatedb(db, messages, cfg, now_ms)
         new_db = dedup_op.dedup(new_db)
-        new_db = self._write(new_db, "crawldb", rnd)
+        # plan introspection for tests/bench: the pre-write frames whose
+        # physical plans carry the round's shuffle structure
+        self.debug_plans = {"updatedb": new_db, "schedule": fr["schedule"]}
+        # stage (durable, uncommitted) — the crawldb snapshot is the
+        # resume marker, so its COMMIT must be the round's last write:
+        # a crash after the commit but before linkdb/bloom would
+        # otherwise mark the round done with those products missing
+        # (they are derived below from the staged data, then the
+        # commit record lands last)
+        new_db = self._stage_crawldb(new_db, rnd)
         n_db = new_db.count()
         self._metric(rnd, "updatedb", rows=n_db, sec=time.time() - t0)
 
@@ -195,19 +311,47 @@ class CrawlRun:
                      sec=time.time() - t0)
 
         if self.use_bloom:
-            bloom = urlseen.build_bloom(
-                new_db.select("url"), n_buckets=self.bloom_buckets)
-            self._write(bloom, "urlseen_bloom", rnd)
+            self._write_bloom(new_db, rnd)
+
+        # commit the crawldb snapshot LAST: resume_round() only counts
+        # a round done once every per-round product exists
+        new_db = self._commit_crawldb(rnd)
+
+        # release the within-round reuse caches (fetch schedule, parse
+        # output): every consumer has materialized by now, and persisted
+        # blocks would otherwise accumulate across rounds in one session
+        for cached in (fr.get("schedule"), pr.get("parsed")):
+            if cached is not None:
+                cached.unpersist()
 
         return {"fetchlist_rows": n_fl, "fetched_rows": n_fetched,
                 "crawldb_rows": n_db}
+
+    def _clock_path(self) -> str:
+        return os.path.join(self.out, "_crawl.json")
+
+    def _load_or_pin_start(self, start_ms: int | None) -> int:
+        """The virtual clock's epoch is pinned on first use and reused
+        on resume: resumed rounds must run on the SAME clock as the
+        committed ones, or fetch_time / re-fetch comparisons against
+        pre-crash snapshots stop being deterministic."""
+        path = self._clock_path()
+        if os.path.isfile(path):
+            with open(path) as f:
+                return int(json.load(f)["start_ms"])
+        now = start_ms if start_ms is not None else int(time.time() * 1000)
+        os.makedirs(self.out, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"start_ms": now}, f)
+        return now
 
     def crawl(self, seeds: DataFrame, rounds: int,
               start_ms: int | None = None,
               round_ms: int = 24 * 3600 * 1000) -> DataFrame:
         """Full crawl; virtual clock advances one ``round_ms`` per
-        round so re-fetch scheduling behaves deterministically."""
-        now = start_ms if start_ms is not None else int(time.time() * 1000)
+        round so re-fetch scheduling behaves deterministically (the
+        epoch persists in ``_crawl.json`` and survives resume)."""
+        now = self._load_or_pin_start(start_ms)
         # resume: completed rounds are skipped — a crash between stage
         # commits restarts its round from the last committed crawldb
         # snapshot (per-round checkpoints, north-rule resumability)

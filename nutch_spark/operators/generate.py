@@ -136,8 +136,9 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
             if cfg.generate_top_n <= cfg.generate_topn_distributed_min:
                 return sub.orderBy(F.desc("_sort"), F.asc("url")) \
                     .limit(cfg.generate_top_n)
-            return _top_n_by_threshold(sub, cfg.generate_top_n,
-                                       "_sort", "url")
+            return _top_n_by_threshold(
+                sub, cfg.generate_top_n, "_sort", "url",
+                small_limit=cfg.generate_topn_distributed_min)
         if max_seg > 1 and cfg.generate_max_count > 0:
             parts = [_topn(df.where(F.col("_segnum") == s))
                      for s in range(1, max_seg + 1)]
@@ -183,8 +184,64 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     return df
 
 
+def _bottom_k_by_key(df: DataFrame, k: int, key_col: str,
+                     small_limit: int = 100_000,
+                     n_ranges: int = 512, _depth: int = 0) -> DataFrame:
+    """Exact k smallest rows by a (unique-valued) key column without any
+    single task materializing k rows — the string-key analog of
+    threshold selection, for tie groups whose keys (urls) have no
+    numeric quantile.
+
+    Range-cut selection: range-partition the keys into ``n_ranges``
+    contiguous ranges, collect per-range (count, max_key) — ``n_ranges``
+    scalars, never rows — and keep every range that fits wholly under
+    the k budget IN PLACE with a ``key <= cut`` filter. Only the single
+    boundary range (≈ count/n_ranges rows) recurses; candidates shrink
+    ~n_ranges× per level, so depth is O(log_{n_ranges} count) and the
+    terminal TakeOrdered holds ≤ small_limit rows. The cut keys are
+    properties of the DATA (counts of ``key <= cut`` are exact whatever
+    partitioning a re-execution picks), so the result is deterministic
+    even though repartitionByRange samples its boundaries."""
+    if k <= 0:
+        return df.limit(0)
+    cnt = df.count()
+    if cnt <= k:
+        return df
+    if k <= small_limit or _depth >= 8:
+        return df.orderBy(F.asc(key_col)).limit(k)
+    stats = (df.select(key_col)
+             .repartitionByRange(n_ranges, F.asc(key_col))
+             .select(F.spark_partition_id().alias("p"), key_col)
+             .groupBy("p")
+             .agg(F.count("*").alias("c"), F.max(key_col).alias("mx"))
+             .orderBy("p")
+             .collect())
+    cum, cut, boundary_mx = 0, None, None
+    for r in stats:
+        if cum + r["c"] > k:
+            boundary_mx = r["mx"]
+            break
+        cum += r["c"]
+        cut = r["mx"]
+    if cut is None:
+        # first range alone exceeds k: recurse within it
+        return _bottom_k_by_key(df.where(F.col(key_col) <= boundary_mx),
+                                k, key_col, small_limit, n_ranges,
+                                _depth + 1)
+    kept = df.where(F.col(key_col) <= cut)
+    rem = k - cum
+    if rem == 0:
+        return kept
+    rest = df.where((F.col(key_col) > cut)
+                    & (F.col(key_col) <= boundary_mx))
+    return kept.unionByName(
+        _bottom_k_by_key(rest, rem, key_col, small_limit, n_ranges,
+                         _depth + 1))
+
+
 def _top_n_by_threshold(df: DataFrame, n: int, score_col: str,
-                        tie_col: str, rel_err: float = 0.001) -> DataFrame:
+                        tie_col: str, rel_err: float = 0.001,
+                        small_limit: int = 100_000) -> DataFrame:
     """Exact top-N *set* by (score desc, tie asc) without any single
     task materializing N rows.
 
@@ -193,10 +250,15 @@ def _top_n_by_threshold(df: DataFrame, n: int, score_col: str,
     Generator.java:136-137): approx-quantile finds a score cutoff t;
     all rows with score > t are kept in place (never sorted or moved
     to one task); only the boundary tie group score == t — measure-zero
-    for continuous OPIC scores — pays a TakeOrdered for the remaining
-    slots. If the quantile estimate overshoots (> n strict-above rows),
+    for continuous OPIC scores — pays the remaining-slot selection.
+    If the quantile estimate overshoots (> n strict-above rows),
     recurse into that strictly smaller subset. Driver traffic is a few
-    scalar counts/quantiles per iteration."""
+    scalar counts/quantiles per iteration.
+
+    Degenerate tie groups (a constant-score frontier at bootstrap makes
+    the ENTIRE input one tie group) go through :func:`_bottom_k_by_key`
+    range-cut selection instead of a single-merge-task TakeOrdered —
+    only remainders ≤ ``small_limit`` ever pay a single-task limit."""
     cnt = df.count()
     if cnt <= n:
         return df
@@ -210,8 +272,8 @@ def _top_n_by_threshold(df: DataFrame, n: int, score_col: str,
             break
         df, cnt = above, a   # overshoot: shrink into strict-above
     if n - a > 0:
-        ties = (df.where(F.col(score_col) == t)
-                .orderBy(F.asc(tie_col)).limit(n - a))
+        ties = _bottom_k_by_key(df.where(F.col(score_col) == t),
+                                n - a, tie_col, small_limit)
         return above.unionByName(ties)
     return above
 

@@ -215,7 +215,10 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
     crawl_parse = crawl_parse.unionByName(redir_rows)
 
     return {"parse_text": parse_text, "parse_data": parse_data,
-            "crawl_parse": crawl_parse}
+            "crawl_parse": crawl_parse,
+            # the persisted reuse frame — callers running multi-round
+            # sessions unpersist it once every output is materialized
+            "parsed": parsed}
 
 
 def outlink_edges(parse_data: DataFrame,

@@ -133,8 +133,13 @@ def indexer_deletes(crawldb: DataFrame, parse_data: DataFrame | None,
     One row per url, first matching reason wins (the reference's
     early-return)."""
     db = crawldb.select("url", F.col("status").alias("db_status"))
-    cf = (crawl_fetch.select(
-              "url", F.col("status").alias("fetch_status"))
+    # a notmodified fetch row never becomes the fetchDatum — dropped
+    # BEFORE the delete checks (IndexerMapReduce.java:198-201), so a
+    # url whose only fetch row is notmodified has no fetch side here
+    # and cannot trigger the gone/redirect both-present rules
+    cf = (crawl_fetch
+          .where(F.col("status") != FETCH_NOTMODIFIED)
+          .select("url", F.col("status").alias("fetch_status"))
           if crawl_fetch is not None else None)
     if parse_data is not None and "meta_robots" in parse_data.columns:
         pd_ = parse_data.select(

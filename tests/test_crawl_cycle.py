@@ -18,12 +18,12 @@ def fixture(spark):
                        hot_host_pages=12)
 
 
-def _run(spark, tmp, fixture, rounds=2, **cfg_kw):
+def _run(spark, tmp, fixture, rounds=2, storage="bucketed", **cfg_kw):
     cfg = CrawlConfig(generate_top_n=100, num_fetch_partitions=4,
                       **cfg_kw)
     run = CrawlRun(spark, str(tmp), cfg, fixture["pages"],
                    fixture["robots"], fixture["http_status"],
-                   bloom_buckets=4)
+                   bloom_buckets=4, storage=storage, db_buckets=4)
     db = run.crawl(fixture["seeds"], rounds=rounds, start_ms=START)
     return run, db
 
@@ -75,11 +75,13 @@ def test_crash_mid_write_resumes_from_last_snapshot(spark, tmp_path,
     import os
     import shutil
 
-    run, db_ok = _run(spark, tmp_path / "clean", fixture, rounds=2)
+    run, db_ok = _run(spark, tmp_path / "clean", fixture, rounds=2,
+                      storage="parquet")
 
     # crashed run: round 1 completes, then simulate dying mid-install
     # of round 2 — a .tmp dir with data but no commit record
-    run2, _ = _run(spark, tmp_path / "crash", fixture, rounds=1)
+    run2, _ = _run(spark, tmp_path / "crash", fixture, rounds=1,
+                   storage="parquet")
     base = str(tmp_path / "crash" / "crawldb")
     src = os.path.join(base, "round=1")
     tmp2 = os.path.join(base, "round=2.tmp")
@@ -97,7 +99,8 @@ def test_crash_mid_write_resumes_from_last_snapshot(spark, tmp_path,
     cfg = CrawlConfig(generate_top_n=100, num_fetch_partitions=4)
     run3 = CrawlRun(spark, str(tmp_path / "crash"), cfg,
                     fixture["pages"], fixture["robots"],
-                    fixture["http_status"], bloom_buckets=4)
+                    fixture["http_status"], bloom_buckets=4,
+                    storage="parquet")
     db_resumed = run3.crawl(fixture["seeds"], rounds=2, start_ms=START)
     rows_ok = sorted((r.url, r.status) for r in db_ok.collect())
     rows_re = sorted((r.url, r.status) for r in db_resumed.collect())
@@ -138,3 +141,64 @@ def test_metrics_written(spark, tmp_path, fixture):
     assert {"inject", "generate", "fetch", "parse", "updatedb",
             "invertlinks"} <= stages
     assert (tmp_path / "_metrics.jsonl").exists()
+
+
+def test_crawldb_commit_is_last_per_round(spark, tmp_path, fixture):
+    """The crawldb snapshot is the resume marker, so its commit must
+    come after every other per-round product: a crash before the
+    crawldb install leaves the round NOT done (it restarts and
+    re-produces linkdb/bloom), never a done round with missing
+    products (round-2 ADVICE finding)."""
+    cfg = CrawlConfig(generate_top_n=100, num_fetch_partitions=4)
+    run = CrawlRun(spark, str(tmp_path), cfg, fixture["pages"],
+                   fixture["robots"], fixture["http_status"],
+                   bloom_buckets=4, db_buckets=4)
+
+    # crash exactly at the round-2 crawldb commit point
+    orig_commit = run._commit_crawldb
+
+    def crashing_commit(rnd):
+        if rnd == 2:
+            raise RuntimeError("simulated crash at commit")
+        return orig_commit(rnd)
+
+    run._commit_crawldb = crashing_commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.crawl(fixture["seeds"], rounds=2, start_ms=START)
+    run._commit_crawldb = orig_commit
+
+    # round 2 is NOT done — even though linkdb/bloom round=2 exist
+    assert run.resume_round() == 1
+    assert (tmp_path / "linkdb" / "round=2").exists()
+
+    # resume re-runs round 2; every committed round carries all its
+    # per-round products
+    run2 = CrawlRun(spark, str(tmp_path), cfg, fixture["pages"],
+                    fixture["robots"], fixture["http_status"],
+                    bloom_buckets=4, db_buckets=4)
+    run2.crawl(fixture["seeds"], rounds=2)
+    assert run2.resume_round() == 2
+    for product in ("linkdb", "urlseen_bloom"):
+        p = tmp_path / product / "round=2"
+        assert (p / "_snapshot.json").exists(), product
+
+
+def test_resume_reuses_pinned_virtual_clock(spark, tmp_path, fixture):
+    """Resumed rounds run on the SAME virtual clock as committed ones:
+    the epoch pins into _crawl.json on first crawl() and a resume with
+    start_ms=None reuses it, so fetch_time comparisons stay
+    deterministic (round-2 ADVICE finding)."""
+    _, db_ok = _run(spark, tmp_path / "clean", fixture, rounds=2)
+
+    run1, _ = _run(spark, tmp_path / "res", fixture, rounds=1)
+    cfg = CrawlConfig(generate_top_n=100, num_fetch_partitions=4)
+    run2 = CrawlRun(spark, str(tmp_path / "res"), cfg, fixture["pages"],
+                    fixture["robots"], fixture["http_status"],
+                    bloom_buckets=4, db_buckets=4)
+    # no start_ms: must come from the pinned epoch, not wall clock
+    db_res = run2.crawl(fixture["seeds"], rounds=2)
+    rows_ok = sorted((r.url, r.status, r.fetch_time)
+                     for r in db_ok.collect())
+    rows_re = sorted((r.url, r.status, r.fetch_time)
+                     for r in db_res.collect())
+    assert rows_ok == rows_re

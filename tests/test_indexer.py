@@ -109,3 +109,19 @@ def test_indexer_docs_skips_notmodified(spark):
     skip = indexer_docs(db, None, pt, pd_, cf,
                         CrawlConfig(indexer_skip_notmodified=True))
     assert {r.url for r in skip.select("url").collect()} == {"http://a/"}
+
+
+def test_deletes_ignore_notmodified_fetch_row(spark):
+    """A notmodified fetch row is dropped before the delete checks
+    (IndexerMapReduce.java:198-201): a url with only a notmodified
+    fetch row plus a gone/redirect db status gets NO gone/redirect
+    delete — the both-present rule loses its fetch side."""
+    db = _db(spark, [("http://a/", "db_gone"),
+                     ("http://b/", "db_redir_perm"),
+                     ("http://c/", "db_gone")])
+    cf = _cf(spark, [("http://a/", "fetch_notmodified"),
+                     ("http://b/", "fetch_notmodified"),
+                     ("http://c/", "fetch_gone")])
+    got = {r.url: r.reason
+           for r in indexer_deletes(db, None, cf, CFG).collect()}
+    assert got == {"http://c/": "gone"}

@@ -97,6 +97,34 @@ def test_topn_threshold_tie_break(spark):
     assert urls == all_urls[:40]      # smallest urls win ties
 
 
+def test_topn_constant_score_no_single_task_limit(spark):
+    """Bootstrap degenerate case (round-2 VERDICT #3): a uniform-score
+    frontier makes the whole input one tie group; the tie selection
+    must be range-cut (`_bottom_k_by_key`), never a TakeOrdered /
+    global limit whose single merge task holds all n rows."""
+    db = _frontier(spark, 600).withColumn("score", F.lit(1.0))
+    sel = gen_op._top_n_by_threshold(db, 250, "score", "url",
+                                     small_limit=0)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+    got = sorted(r.url for r in sel.collect())
+    expect = sorted(r.url for r in db.select("url").collect())[:250]
+    assert got == expect
+
+
+def test_bottom_k_by_key_recursive_levels(spark):
+    """Multi-level range-cut: tiny ranges force both the fully-kept
+    prefix and a recursing boundary remainder; the selected set stays
+    exact."""
+    db = _frontier(spark, 400).withColumn("score", F.lit(1.0))
+    sel = gen_op._bottom_k_by_key(db, 37, "url", small_limit=0,
+                                  n_ranges=4)
+    got = sorted(r.url for r in sel.collect())
+    expect = sorted(r.url for r in db.select("url").collect())[:37]
+    assert got == expect
+
+
 # --- SimHash: blocking recall is exact for any radius --------------------
 
 def test_simhash_plan_invariant():
