@@ -193,20 +193,29 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
                                1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64("t")
+    # parallelize narrow inputs: a small-SF table arrives as one scan
+    # partition, and the explode+64-sum map side would run single-task;
+    # at production widths (partitions ≥ cores) this is a no-op
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     tok = (docs
            .select(F.col(id_col).alias("id"),
                    F.explode(F.array_distinct(
                        F.split(_norm_text(F.col(text_col)), " ")))
                    .alias("t"))
            .withColumn("h", h))
-    aggs = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-                     == 1, 1).otherwise(-1)).alias(f"c{b}")
+    # charge sign via 2·ones > count (same predicate as sum(±1) > 0,
+    # but each per-bit aggregate is a branch-free bit extraction)
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"c{b}")
         for b in range(n_bits)]
     g = tok.groupBy("id").agg(*aggs)
     sh = F.lit(0).cast("long")
     for b in range(n_bits):
-        sh = sh + F.when(F.col(f"c{b}") > 0,
+        sh = sh + F.when(2 * F.col(f"c{b}") > F.col("_n"),
                          F.lit(1 << b if b < 63 else -(1 << 63))
                          .cast("long")).otherwise(F.lit(0).cast("long"))
     return g.select("id", sh.alias("sh"))
@@ -261,15 +270,40 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
     ``bit_count`` filter re-checks every candidate, so blocking affects
     only cost, not precision.
 
-    ``max_bucket_size`` (scale knob): drop buckets with more members —
-    a boilerplate cluster sharing a block key makes per-bucket pairs
-    quadratic; capping trades recall on >cap-sized duplicate clusters
-    (which exact-dedup or a shorter radius should own) for bounded
-    work. Default None preserves exact recall."""
+    Pairing runs over DISTINCT fingerprints (round-3): identical-hash
+    clusters — the skew source, since a k-member boilerplate cluster
+    is k²·C(c,m) candidates — are collapsed before the bucket join and
+    re-expanded afterwards with output-proportional equi-joins, so the
+    quadratic stage sees each fingerprint once.
+
+    ``max_bucket_size`` (scale knob): drop buckets with more DISTINCT
+    HASHES than the cap (the join-cost unit), and identical-hash
+    clusters larger than the cap from the hamming-0 expansion; capping
+    trades recall on >cap-sized near-dup families (which exact-dedup
+    or a shorter radius should own) for bounded work. Default None
+    preserves exact recall.
+
+    Dedup across tables is CANONICAL EMISSION, not ``distinct()``: a
+    near-identical pair agrees on almost every block and therefore
+    meets in up to C(c, m) tables (45 at radius 8) — shuffling that
+    multiplicity into a distinct dominated the round-2 runtime. Instead
+    each pair is emitted only from the lexicographically FIRST
+    m-combination of its agreeing blocks: within indices 0..max(combo)
+    the agreeing set must equal the combo exactly, a single bitwise
+    compare of the pair's block-agreement mask against two per-table
+    literals — evaluated inside the join output, so duplicate
+    candidates are dropped before any shuffle. With ``max_bucket_size``
+    the capped buckets may include the first-combo bucket, so emission
+    falls back to ``distinct()`` over the surviving tables (recall
+    under a cap is already approximate)."""
     c, m = _simhash_plan(max_hamming, n_bits=n_bits)
     widths = [n_bits // c + (1 if i < n_bits % c else 0)
               for i in range(c)]
     offs = [sum(widths[:i]) for i in range(c)]
+    # signed-64 wrap: the top block's mask has bit 63 set
+    masks = [(m if m < 1 << 63 else m - (1 << 64))
+             for m in (((1 << widths[i]) - 1) << offs[i]
+                       for i in range(c))]
 
     def block(i: int) -> Column:
         masked = F.shiftrightunsigned("sh", offs[i]) \
@@ -278,30 +312,97 @@ def simhash_neardup(docs: DataFrame, id_col: str = "doc_id",
 
     # key = hash-combine of the table's m block values (no overflow,
     # uniform; collisions only add candidates, which the exact filter
-    # removes)
+    # removes). Each table entry carries its first-combo test literals:
+    # emit iff (agree_mask & lowmask) == combobits, i.e. the agreeing
+    # blocks below (and at) the combo's top index are exactly the combo.
+    def _combo_lits(combo: tuple[int, ...]) -> tuple[int, int]:
+        lowmask = (1 << (max(combo) + 1)) - 1
+        combobits = sum(1 << i for i in combo)
+        return lowmask, combobits
+
     tables = F.array(*[
         F.struct(F.lit(t).alias("table"),
                  F.xxhash64(F.lit(t), *[block(i) for i in combo])
-                  .alias("key"))
+                  .alias("key"),
+                 F.lit(_combo_lits(combo)[0]).alias("lowmask"),
+                 F.lit(_combo_lits(combo)[1]).alias("combobits"))
         for t, combo in enumerate(combinations(range(c), m))])
 
     df = simhash_df(docs, id_col, text_col, n_bits, token_hash)
-    blocked = (df.select("id", "sh", F.explode(tables).alias("tk"))
-               .select("id", "sh", F.col("tk.table").alias("table"),
-                       F.col("tk.key").alias("key")))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+
+    # --- collapse identical fingerprints BEFORE the quadratic stage ---
+    # Exact-duplicate clusters are THE skew source: one k-member
+    # boilerplate cluster puts k×C(c,m) rows into the same buckets and
+    # k²·C(c,m) candidates into the join. Pairing runs over DISTINCT
+    # hashes only; member pairs re-expand afterwards with two slim
+    # equi-joins (output-proportional, no duplication factor). All
+    # consumers below derive from the same `df` lineage, so Spark's
+    # exchange reuse computes the simhash aggregation once.
+    hashes = df.select("sh").distinct()
+    blocked = (hashes.select("sh", F.explode(tables).alias("tk"))
+               .select("sh", F.col("tk.table").alias("table"),
+                       F.col("tk.key").alias("key"),
+                       F.col("tk.lowmask").alias("lowmask"),
+                       F.col("tk.combobits").alias("combobits")))
+    # pin the join parallelism on the bucket key: the JOIN OUTPUT is
+    # pairs-quadratic in bucket population even when the input is tiny
+    # by bytes, so AQE's byte-based coalescing must not collapse it to
+    # one task (repartition-by-num is AQE-stable); keys are uniform
+    # hashes, so the spread is even
+    blocked = blocked.repartition(par, "table", "key")
     if max_bucket_size is not None:
+        # cap counts DISTINCT HASHES per bucket (the join-cost unit);
+        # identical-hash clusters larger than the cap are likewise
+        # dropped from the same-hash expansion below
         w = Window.partitionBy("table", "key")
         blocked = (blocked.withColumn("_bn", F.count("*").over(w))
                    .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (a.join(b, ["table", "key"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-                    .alias("hamming"))
-            .distinct()
-            .where(F.col("hamming") <= max_hamming))
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hp = (a.join(b, ["table", "key"])
+          .where(F.col("a.sh") < F.col("b.sh")))
+    if max_bucket_size is None:
+        # per-pair block-agreement mask: bit i set iff block i agrees
+        amask = None
+        for i in range(c):
+            bit = F.when(xor.bitwiseAND(F.lit(masks[i])) == 0,
+                         F.lit(1 << i)).otherwise(F.lit(0))
+            amask = bit if amask is None else amask + bit
+        hp = hp.where(
+            amask.bitwiseAND(F.col("a.lowmask")) == F.col("a.combobits"))
+        hp = hp.select(F.col("a.sh").alias("sh_a"),
+                       F.col("b.sh").alias("sh_b"),
+                       F.bit_count(xor).alias("hamming"))
+    else:
+        hp = hp.select(F.col("a.sh").alias("sh_a"),
+                       F.col("b.sh").alias("sh_b"),
+                       F.bit_count(xor).alias("hamming")).distinct()
+    hp = hp.where(F.col("hamming") <= max_hamming)
+
+    # --- expand hash pairs back to member pairs -----------------------
+    cross = (hp
+             .join(df.select(F.col("id").alias("_ida"),
+                             F.col("sh").alias("sh_a")), "sh_a")
+             .join(df.select(F.col("id").alias("_idb"),
+                             F.col("sh").alias("sh_b")), "sh_b")
+             .select(F.least("_ida", "_idb").alias("id_a"),
+                     F.greatest("_ida", "_idb").alias("id_b"),
+                     "hamming"))
+    # hamming-0 pairs: members sharing one fingerprint
+    same_groups = df
+    if max_bucket_size is not None:
+        wg = Window.partitionBy("sh")
+        same_groups = (df.withColumn("_gn", F.count("*").over(wg))
+                       .where(F.col("_gn") <= max_bucket_size)
+                       .drop("_gn"))
+    x, y = same_groups.alias("x"), same_groups.alias("y")
+    same = (x.join(y, "sh")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"),
+                    F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(same)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
