@@ -255,11 +255,21 @@ def q_loops_detect(spark, sf):
 
 def q_linkrank(spark, sf):
     """LinkRank with loop exclusion + per-page/domain contribution
-    dedup (LinkRank.java:437-553) — iterative, no SQL oracle."""
+    dedup (LinkRank.java:437-553). Oracle-checked: the synthetic hosts
+    all register domain 'test', so the per-domain dedup collapses each
+    target to its single MAX contribution — every iteration becomes
+    rank = (1-d) + d·MAX(score/deg), which a chained-CTE DuckDB oracle
+    reproduces bit-for-bit (max has no summation-order dependence)."""
     e = _loop_edges(spark, sf)
     loops = linkdb_op.find_loops(e, depth=2)
     r = linkdb_op.linkrank(e, iterations=3, loops=loops)
-    return r.select("url", F.round("score", 4).alias("score"))
+    # floor(x*1e4+0.5)/1e4 instead of ROUND: raw scores are
+    # bit-identical across engines (max-aggregated, no sum order), but
+    # ROUND implementations disagree exactly at .xxxx5 boundaries —
+    # this quantization is the same double arithmetic on both sides
+    return r.select(
+        "url",
+        (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"))
 
 
 def q_domain_stats_domain(spark, sf):
@@ -447,6 +457,131 @@ def q_fetch_politeness(spark, sf):
                                     "virtual_time")
 
 
+def q_fetch_politeness_threads(spark, sf):
+    """fetcher.threads.per.queue=3 politeness
+    (FetchItemQueue.java:95-138): waves of 3 items per queue spaced by
+    fetcher.server.min.delay=1s — the k-th attempted URL completes at
+    round_start + floor(k/3) × 1000 ms. Fully SQL-derivable."""
+    db = _crawldb(spark, sf)
+    cfg = CFG.with_(generate_top_n=500, generate_filter=False,
+                    num_fetch_partitions=8,
+                    fetcher_threads_per_queue=3,
+                    fetcher_server_min_delay_ms=1000)
+    fl = gen_op.generate(db, cfg, cur_time_ms=CUR_TIME_MS,
+                         gen_time_ms=CUR_TIME_MS)
+    d = _docs(spark, sf)
+    pages = d.select(
+        _url(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        "text", "lang")
+    robots = spark.createDataFrame(
+        [], "authority string, robots_txt string, fetch_code int")
+    fr = fetch_op.fetch(fl, pages, robots, None, cfg, CUR_TIME_MS)
+    return fr["crawl_fetch"].select("url", "status", "queue_id",
+                                    "virtual_time")
+
+
+def q_crawldb_dump(spark, sf):
+    """readdb -dump with regex + status + retry + JEXL-style expression
+    filters (CrawlDbReader.java, CrawlDatum.java:528-589)."""
+    db = _crawldb(spark, sf)
+    out = readers.crawldb_dump(db, regex=r"[02468]$",
+                               status="db_unfetched",
+                               retry_min=1, expr="score > 2.0")
+    return out.select("url", "status", "retries",
+                      F.round("score", 4).alias("score"))
+
+
+def q_crawldb_url(spark, sf):
+    """readdb -url point lookup (CrawlDbReader.java:458-476)."""
+    out = readers.crawldb_get(_crawldb(spark, sf),
+                              "http://host1.test/p41")
+    return out.select("url", "status", "fetch_time", "retries",
+                      "fetch_interval", F.round("score", 4).alias("score"))
+
+
+def q_readlinkdb(spark, sf):
+    """readlinkdb -url lookups (LinkDbReader.java) over a small url
+    set, inlinks exploded to rows for order-insensitive comparison."""
+    ldb = linkdb_op.invert_links(_edges(spark, sf), CFG)
+    targets = [f"http://host{k % 40}.test/p{k}" for k in range(1, 6)]
+    return (ldb.where(F.col("url").isin(targets))
+            .select("url", F.explode("inlinks").alias("il"))
+            .select("url", F.col("il.from_url").alias("from_url"),
+                    F.col("il.anchor").alias("anchor")))
+
+
+def q_nodedumper(spark, sf):
+    """NodeDumper top-N by inlink degree (NodeDumper.java)."""
+    wg = linkdb_op.webgraph(_edges(spark, sf), None, CFG)
+    return linkdb_op.node_dumper(wg["nodedb"], by="inlinks", n=20)
+
+
+def q_score_updater(spark, sf):
+    """ScoreUpdater.java:59-63: nodedb scores copied into the crawldb;
+    urls absent from the webgraph get score cleared to 0."""
+    db = _crawldb(spark, sf)
+    scores = db.select("url", "score")
+    wg = linkdb_op.webgraph(_edges(spark, sf), scores, CFG)
+    out = linkdb_op.score_updater(db, wg["nodedb"])
+    return out.select("url", "status",
+                      F.round("score", 4).alias("score"))
+
+
+def q_segment_merge(spark, sf):
+    """SegmentMerger latest-per-url with fetch-status precedence ties
+    (SegmentMerger.java:556-620): segment B re-fetches every third url
+    at a later time; same-time collisions resolve success > retry."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    seg_a = d.select(
+        _url(i).alias("url"),
+        F.when(i % 4 == 0, "fetch_retry").otherwise("fetch_success")
+         .alias("status"),
+        F.lit(1000).cast("long").alias("fetch_time"))
+    seg_b = d.where(i % 3 == 0).select(
+        _url(i).alias("url"),
+        F.lit("fetch_success").alias("status"),
+        (F.when(i % 2 == 0, 2000).otherwise(1000))
+        .cast("long").alias("fetch_time"))
+    from nutch_spark.operators.merge import merge_segments
+    out = merge_segments([seg_a, seg_b], status_col="status")
+    return out.select("url", "status", "fetch_time")
+
+
+def q_updatedb_adaptive(spark, sf):
+    """updatedb under AdaptiveFetchSchedule
+    (AdaptiveFetchSchedule.java:95-144): successes with a changed
+    signature shrink the interval by dec_rate (×0.8); untouched rows
+    keep the default-schedule no-op."""
+    cfg = CFG.with_(fetch_schedule="adaptive")
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    msgs = d.where(i % 3 == 0).select(
+        _url(i).alias("url"),
+        F.lit("fetch_success").alias("status"),
+        F.lit(FETCH_TIME_MS).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        (F.lit(3600) + (i % 100)).cast("int").alias("fetch_interval"),
+        ((i % 97) / 10.0).cast("double").alias("score"),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("v2")), "UTF-8"))
+         .alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    out = update_op.updatedb(_crawldb(spark, sf), msgs, cfg, CUR_TIME_MS)
+    return out.select("url", "status", "fetch_time", "retries",
+                      "fetch_interval", F.round("score", 4).alias("score"))
+
+
+def q_free_generate(spark, sf):
+    """FreeGenerator (tools/FreeGenerator.java): fetchlist straight
+    from a url list, bypassing the crawldb."""
+    fl = gen_op.free_generate(_seed_lines(spark, sf), CFG, INJECT_NOW_MS)
+    return fl.select("url", "status", "fetch_time", "fetch_interval",
+                     F.round("score", 4).alias("score"))
+
+
 def q_minhash_lsh(spark, sf):
     d = _docs(spark, sf).withColumn(
         "text", F.substring(F.col("text"), 1, 120))
@@ -469,15 +604,22 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """Hyperplane-LSH top-k. The fixture's true top-5 neighbors sit at
+    cosine 0.26-0.39, so the probe budget is sized for low similarity
+    (auto_lsh_params territory: 4-plane tables, many of them) —
+    measured recall@5 ≈ 0.9 vs ann_topk on the fixture
+    (tests/test_approx_recall.py)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
-    return ann.lsh_topk(emb, queries, k=5, n_planes=8, n_tables=4)
+    return ann.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=24)
 
 
 def q_embedding_neardup(spark, sf):
+    """LSH-blocked cosine near-dup with self-tuned (planes, tables)
+    from auto_lsh_params — recall-targeted instead of hand-guessed
+    (the old (6, 6) delivered near-zero recall at threshold 0.5)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return ann.embedding_neardup(emb, threshold=0.5, n_planes=6,
-                                 n_tables=6)
+    return ann.embedding_neardup(emb, threshold=0.5)
 
 
 def q_image_features(spark, sf):
@@ -528,10 +670,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
+        "fetch_politeness_threads": q_fetch_politeness_threads,
+        "crawldb_dump": q_crawldb_dump,
+        "crawldb_url": q_crawldb_url,
+        "readlinkdb": q_readlinkdb,
+        "nodedumper": q_nodedumper,
+        "score_updater": q_score_updater,
+        "segment_merge": q_segment_merge,
+        "updatedb_adaptive": q_updatedb_adaptive,
+        "free_generate": q_free_generate,
         "simhash_hamming": q_simhash_hamming,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "embedding_neardup_exact": q_embedding_neardup_exact,
-        # rows-only (non-SQL-expressible: LSH recall, iterative, media)
+        "linkrank": q_linkrank,
+        # rows-only (non-SQL-expressible: LSH recall, media stubs);
+        # each has an exact oracle-checked sibling or a recall test
+        # (tests/test_approx_recall.py) pinning its quality
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -539,7 +693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
-        "linkrank": q_linkrank,
     }
 
 
@@ -913,6 +1066,191 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) * 5000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # threads.per.queue=3: same politeness schedule, virtual time
+        # = start + floor(k/3) * min_delay(1000 ms) — wave dispatch
+        # (FetchItemQueue.java:95-138, maxThreads>1 -> minCrawlDelay)
+        "fetch_politeness_threads": CRAWLDB_CTE + """
+, fl AS (
+  SELECT url, 'http://' || host AS queue_id FROM crawldb
+  WHERE fetch_time <= 1000000000000
+  ORDER BY score DESC, url ASC LIMIT 500),
+h AS (
+  SELECT url, queue_id,
+         list_reduce(
+           list_prepend(CAST(1 AS BIGINT),
+             [CAST(ascii(x) AS BIGINT)
+              FOR x IN regexp_extract_all(reverse(url), '.')]),
+           (a, b) -> (a * 31 + b) % 4294967296) AS uh
+  FROM fl)
+SELECT url, 'fetch_success' AS status, queue_id,
+       CAST(1000000000000 + FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY queue_id
+           ORDER BY CASE WHEN uh >= 2147483648 THEN uh - 4294967296
+                         ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
+            AS BIGINT) AS virtual_time
+FROM h""",
+
+        "crawldb_dump": CRAWLDB_CTE + """
+SELECT url, status, retries, ROUND(score, 4) AS score
+FROM crawldb
+WHERE regexp_matches(url, '[02468]$')
+  AND status = 'db_unfetched' AND retries >= 1 AND score > 2.0""",
+
+        "crawldb_url": CRAWLDB_CTE + """
+SELECT url, status, fetch_time, retries, fetch_interval,
+       ROUND(score, 4) AS score
+FROM crawldb WHERE url = 'http://host1.test/p41'""",
+
+        "readlinkdb": "WITH " + EDGE_SQL + """
+SELECT to_url AS url, from_url, anchor
+FROM (SELECT DISTINCT to_url, from_url, anchor FROM edges
+      WHERE from_host <> to_host)
+WHERE to_url IN ('http://host1.test/p1', 'http://host2.test/p2',
+                 'http://host3.test/p3', 'http://host4.test/p4',
+                 'http://host5.test/p5')""",
+
+        "nodedumper": "WITH " + EDGE_SQL + """,
+e AS (SELECT DISTINCT from_url, to_url FROM edges),
+o AS (SELECT from_url AS url, COUNT(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT to_url AS url, COUNT(*) AS in_degree FROM e GROUP BY 1),
+n AS (SELECT COALESCE(o.url, i.url) AS url,
+             COALESCE(in_degree, 0) AS in_degree
+      FROM o FULL OUTER JOIN i ON o.url = i.url)
+SELECT url, in_degree AS inlinks FROM n
+ORDER BY in_degree DESC, url ASC LIMIT 20""",
+
+        "score_updater": CRAWLDB_CTE + ", " + EDGE_SQL + """,
+nodes AS (SELECT from_url AS u FROM edges
+          UNION SELECT to_url FROM edges)
+SELECT url, status,
+       ROUND(CASE WHEN url IN (SELECT u FROM nodes) THEN score
+                  ELSE 0.0 END, 4) AS score
+FROM crawldb""",
+
+        # latest-per-url across segments, ties by status precedence
+        "segment_merge": """
+WITH seg AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 = 0 THEN 'fetch_retry'
+              ELSE 'fetch_success' END AS status,
+         CAST(1000 AS BIGINT) AS fetch_time
+  FROM documents
+  UNION ALL
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'fetch_success' AS status,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 2000 ELSE 1000 END
+              AS BIGINT) AS fetch_time
+  FROM documents WHERE doc_id % 3 = 0),
+r AS (
+  SELECT url, status, fetch_time, ROW_NUMBER() OVER (
+      PARTITION BY url
+      ORDER BY fetch_time DESC,
+               CASE status WHEN 'fetch_success' THEN 6
+                           WHEN 'fetch_notmodified' THEN 5
+                           WHEN 'fetch_redir_perm' THEN 4
+                           WHEN 'fetch_redir_temp' THEN 3
+                           WHEN 'fetch_retry' THEN 2
+                           ELSE 1 END DESC) AS rn
+  FROM seg)
+SELECT url, status, fetch_time FROM r WHERE rn = 1""",
+
+        # AdaptiveFetchSchedule: signature changed -> MODIFIED ->
+        # interval * (1 - dec_rate); sync_delta no-op (modified_time=0
+        # -> mtime = fetch_time -> delta 0); int cast truncates
+        "updatedb_adaptive": CRAWLDB_CTE + """
+SELECT url,
+       CASE WHEN doc_id % 3 = 0 THEN 'db_fetched' ELSE status END
+         AS status,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(2000000000
+                      + ROUND((3600 + doc_id % 100) * (1.0 - 0.2)
+                              * 1000.0) AS BIGINT)
+            ELSE fetch_time END AS fetch_time,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE retries END AS retries,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(FLOOR((3600 + doc_id % 100) * (1.0 - 0.2))
+                      AS INTEGER)
+            ELSE fetch_interval END AS fetch_interval,
+       ROUND(score, 4) AS score
+FROM crawldb""",
+
+        "free_generate": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'db_unfetched' AS status,
+       CAST(1000 AS BIGINT) AS fetch_time,
+       CAST(2592000 AS INTEGER) AS fetch_interval,
+       CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE doc_id % 3 = 0""",
+
+        # LinkRank, 3 iterations, loop exclusion + page/domain
+        # contribution dedup (LinkRank.java:437-553). Every synthetic
+        # host registers domain 'test', so the per-domain dedup keeps
+        # exactly ONE (the max) contribution per target — each
+        # iteration is rank = (1-d) + d * MAX(score(from)/deg(from)),
+        # which is MAX- not SUM-aggregated and therefore bit-stable
+        # across engines. Loop set = the loops_detect oracle's pairs.
+        "linkrank": "WITH " + EDGE_SQL.replace("edges AS (", """
+base_edges AS (""") + """,
+edges2 AS (
+  SELECT DISTINCT from_url, to_url FROM (
+    SELECT from_url, to_url FROM base_edges
+    UNION ALL
+    SELECT to_url AS from_url, from_url AS to_url
+    FROM base_edges WHERE from_host = 0)
+),
+ind AS (SELECT DISTINCT to_url AS u FROM edges2),
+r0x AS (
+  SELECT e.to_url AS at, e.from_url AS lf, e.to_url AS fh
+  FROM edges2 e JOIN ind ON e.from_url = ind.u
+),
+f1 AS (
+  SELECT DISTINCT r0x.lf, r0x.fh FROM r0x
+  JOIN edges2 e ON e.from_url = r0x.at AND e.to_url = r0x.lf
+),
+r1x AS (
+  SELECT DISTINCT e2.to_url AS at, r0x.lf, r0x.fh
+  FROM r0x JOIN edges2 e2 ON e2.from_url = r0x.at
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges2 ex
+    WHERE ex.from_url = r0x.at AND ex.to_url = r0x.lf)
+),
+f2 AS (
+  SELECT DISTINCT r1x.lf, r1x.fh FROM r1x
+  JOIN edges2 e ON e.from_url = r1x.at AND e.to_url = r1x.lf
+),
+loopset AS (SELECT * FROM f1 UNION SELECT * FROM f2),
+e AS (
+  SELECT from_url, to_url FROM edges2
+  WHERE NOT EXISTS (SELECT 1 FROM loopset
+                    WHERE lf = from_url AND fh = to_url)
+),
+nodes AS (SELECT from_url AS url FROM edges2
+          UNION SELECT to_url FROM edges2),
+deg AS (SELECT from_url, COUNT(*) AS dg FROM e GROUP BY 1),
+r0 AS (SELECT url, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+c1 AS (SELECT e.to_url AS url, MAX(r0.score / deg.dg) AS c
+       FROM e JOIN r0 ON r0.url = e.from_url
+              JOIN deg ON deg.from_url = e.from_url GROUP BY 1),
+r1 AS (SELECT n.url, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              + CAST(0.85 AS DOUBLE) * COALESCE(c1.c, CAST(0.0 AS DOUBLE)) AS score
+       FROM nodes n LEFT JOIN c1 ON c1.url = n.url),
+c2 AS (SELECT e.to_url AS url, MAX(r1.score / deg.dg) AS c
+       FROM e JOIN r1 ON r1.url = e.from_url
+              JOIN deg ON deg.from_url = e.from_url GROUP BY 1),
+r2 AS (SELECT n.url, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              + CAST(0.85 AS DOUBLE) * COALESCE(c2.c, CAST(0.0 AS DOUBLE)) AS score
+       FROM nodes n LEFT JOIN c2 ON c2.url = n.url),
+c3 AS (SELECT e.to_url AS url, MAX(r2.score / deg.dg) AS c
+       FROM e JOIN r2 ON r2.url = e.from_url
+              JOIN deg ON deg.from_url = e.from_url GROUP BY 1),
+r3 AS (SELECT n.url, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              + CAST(0.85 AS DOUBLE) * COALESCE(c3.c, CAST(0.0 AS DOUBLE)) AS score
+       FROM nodes n LEFT JOIN c3 ON c3.url = n.url)
+SELECT url, FLOOR(score * 10000 + 0.5) / 10000 AS score FROM r3""",
 
         # 60-bit simhash, md5-60 token hashes, all pairs Hamming <= 3
         # (the Spark side's multi-index blocking has exact recall, so

@@ -41,6 +41,14 @@ class CrawlConfig:
     # --- fetcher (Fetcher.java / FetchItemQueue.java / nutch-default.xml) ---
     fetcher_server_delay_ms: int = 5000       # fetcher.server.delay (5.0 s)
     fetcher_max_crawl_delay_ms: int = 30000   # fetcher.max.crawl.delay (30 s)
+    # fetcher.threads.per.queue (FetchItemQueue.java:95-138): up to this
+    # many items of one queue in flight at once; when > 1 the spacing
+    # between dispatch waves is fetcher.server.min.delay and BOTH the
+    # queue delay and any robots crawl-delay are ignored
+    # (FetchItemQueue.java:133-136 picks minCrawlDelay unconditionally
+    # when maxThreads > 1)
+    fetcher_threads_per_queue: int = 1
+    fetcher_server_min_delay_ms: int = 0      # fetcher.server.min.delay
     fetcher_timelimit_ms: int = -1            # fetcher.timelimit.mins (off)
     fetcher_queue_mode: str = "byHost"        # byHost | byDomain
     # fetcher.max.exceptions.per.queue (-1 = unlimited): after this
@@ -81,6 +89,8 @@ class CrawlConfig:
     db_max_anchor_length: int = 100           # db.max.anchor.length
     db_max_inlinks: int = 10000               # db.max.inlinks (linkdb cap)
     db_ignore_internal_links: bool = True     # linkdb default
+    linkdb_url_normalizers: bool = False      # linkdb.url.normalizers
+    linkdb_url_filters: bool = False          # linkdb.url.filters
     db_score_link_internal: float = 1.0       # db.score.link.internal
     db_score_link_external: float = 1.0       # db.score.link.external
     db_parsemeta_to_crawldb: tuple[str, ...] = ()
@@ -116,6 +126,23 @@ class CrawlConfig:
     # cache this one guards the expensive Arrow parse UDF from being
     # re-run per output, so keep it on unless outputs are consumed once
     parse_cache_storage: str = "MEMORY_AND_DISK"
+
+    # --- URL normalizer chains (URLNormalizers.java:96-170) ---
+    # default chain (urlnormalizer.order, nutch-default.xml:1040) plus
+    # optional per-scope overrides (urlnormalizer.order.<scope>) and
+    # per-scope regex rule sets (RegexURLNormalizer.java:120-158).
+    # Scopes: default partition generate_host_count fetcher crawldb
+    # linkdb inject outlink indexer. All tuples so the frozen dataclass
+    # stays cheap to copy; empty = the fast cached default chain.
+    normalizer_order: tuple[str, ...] = ("basic", "regex")
+    # (("outlink", ("basic", "regex", "querystring")), ...)
+    normalizer_scope_orders: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    # (("outlink", (("pattern", "sub"), ...)), ...)
+    normalizer_scope_regex_rules: tuple[
+        tuple[str, tuple[tuple[str, str], ...]], ...] = ()
+    # urlnormalizer-slash / -host plugin rule tables (global)
+    normalizer_slash_rules: tuple[tuple[str, bool], ...] = ()
+    normalizer_host_rules: tuple[tuple[str, str], ...] = ()
 
     # --- url filter rules: (sign, regex) first-match-wins;
     # defaults mirror conf/regex-urlfilter.txt.template:25-37 ---

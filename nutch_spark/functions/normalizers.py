@@ -219,6 +219,32 @@ def make_normalizer(order: tuple[str, ...] = DEFAULT_CHAIN,
     return norm
 
 
+def normalizer_udf(cfg, scope: str = "default"):
+    """The canonicalize UDF a stage should use for ``scope`` under
+    ``cfg`` — the per-stage entry point that makes the scope resolution
+    of URLNormalizers.java:96-170 real in the pipeline (inject uses
+    SCOPE_INJECT, parse outlinks SCOPE_OUTLINK, fetch/meta-refresh
+    redirects SCOPE_FETCHER, updatedb SCOPE_CRAWLDB, linkdb
+    SCOPE_LINKDB, free-generate SCOPE_INJECT).
+
+    Fast path: a config with no scoped overrides and the stock
+    basic→regex chain gets the process-cached default UDF
+    (urls.spark_udfs), so default crawls pay zero extra UDF
+    construction or closure shipping per stage."""
+    scope_orders = dict(cfg.normalizer_scope_orders)
+    order = scope_orders.get(scope, cfg.normalizer_order)
+    scope_rules = {s: tuple(r) for s, r in cfg.normalizer_scope_regex_rules}
+    if (tuple(order) == DEFAULT_CHAIN and scope not in scope_rules
+            and not cfg.normalizer_slash_rules
+            and not cfg.normalizer_host_rules):
+        from .urls import spark_udfs
+        return spark_udfs()["canonicalize"]
+    return chain_udf(tuple(order), scope,
+                     scope_regex_rules=scope_rules or None,
+                     slash_rules=dict(cfg.normalizer_slash_rules) or None,
+                     host_rules=dict(cfg.normalizer_host_rules) or None)
+
+
 def chain_udf(order: tuple[str, ...] = DEFAULT_CHAIN,
               scope: str = "default", **kw):
     """Arrow-vectorized pandas UDF for a configured chain — the whole

@@ -64,6 +64,44 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cos_sim", 6).alias("cos_sim"), "rank"))
 
 
+def auto_lsh_params(threshold: float, n_rows: int,
+                    target_recall: float = 0.9,
+                    bucket_target: int = 1024,
+                    min_planes: int = 4, max_planes: int = 18,
+                    max_tables: int = 48) -> tuple[int, int]:
+    """(n_planes, n_tables) sized from the math instead of guessed.
+
+    Random-hyperplane LSH: a pair at cosine ``threshold`` agrees on one
+    plane with p = 1 − acos(threshold)/π, survives a table of ``b``
+    planes with p^b, and is recalled by ``L`` tables with
+    1 − (1−p^b)^L. Planes grow with log₂(n/bucket_target) so expected
+    bucket occupancy — and with it the per-bucket self-join cost —
+    stays bounded as n scales; tables then follow from the recall
+    target. When the required tables exceed ``max_tables`` the plane
+    count steps down (bigger buckets, fewer tables) until the budget
+    fits — the join gets denser but recall holds, which is the right
+    trade for a *verified* near-dup pass where precision is exact
+    anyway.
+    """
+    import math
+    p = 1 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    planes = max(min_planes,
+                 min(max_planes,
+                     math.ceil(math.log2(max(2.0, n_rows / bucket_target)))))
+    target_recall = min(target_recall, 0.999)
+
+    def tables_for(b: int) -> int:
+        pt = p ** b
+        if pt >= 1.0:
+            return 1
+        return max(1, math.ceil(math.log(1 - target_recall)
+                                / math.log(1 - pt)))
+
+    while planes > min_planes and tables_for(planes) > max_tables:
+        planes -= 1
+    return planes, min(tables_for(planes), max_tables)
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 12,
                       table: int = 0) -> Column:
     """Sign-pattern bucket id from deterministic hash-derived ±1
@@ -165,9 +203,26 @@ def cosine_neardup_exact(embeddings: DataFrame,
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      n_planes: int = 8, n_tables: int = 6) -> DataFrame:
+                      n_planes: int | None = None,
+                      n_tables: int | None = None,
+                      target_recall: float = 0.9) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-blocked;
-    returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    With ``n_planes``/``n_tables`` unset they are derived by
+    :func:`auto_lsh_params` from the threshold, the row count (one
+    count() of the id column — negligible against the join), and
+    ``target_recall`` — low thresholds genuinely need many tables
+    (at cosine 0.4 a 4-plane table catches only ~16% of qualifying
+    pairs), and a hand-guessed (8, 6) silently delivered ~zero recall
+    there. Precision is exact either way: every candidate is
+    re-verified against the true cosine before emission."""
+    if n_planes is None or n_tables is None:
+        n = embeddings.select(id_col).count()
+        auto_planes, auto_tables = auto_lsh_params(
+            threshold, n, target_recall=target_recall)
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
     rows = []
     for t in range(n_tables):
         rows.append(embeddings.select(

@@ -43,6 +43,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
+from ..functions.normalizers import normalizer_udf
 from ..functions.robots import join_robots
 from ..functions.urls import choose_repr, host_col, queue_id_col, \
     spark_udfs
@@ -108,10 +109,21 @@ def schedule_fetchlist(fetchlist: DataFrame, pages: DataFrame,
     delay_over = (F.col("robots_delay_ms").isNotNull()
                   & (F.col("robots_delay_ms") > cfg.fetcher_max_crawl_delay_ms))
     attempted = F.col("robots_allowed") & ~delay_over
-    eff_delay = (F.when(
-        F.col("robots_delay_ms").isNotNull() & ~delay_over,
-        F.col("robots_delay_ms"))
-        .otherwise(F.lit(cfg.fetcher_server_delay_ms)))
+    threads = max(1, cfg.fetcher_threads_per_queue)
+    if threads > 1:
+        # fetcher.threads.per.queue > 1: waves of `threads` concurrent
+        # items spaced by fetcher.server.min.delay; queue delay AND
+        # robots crawl-delay are ignored for spacing
+        # (FetchItemQueue.java:133-136 — nextFetchTime uses
+        # minCrawlDelay unconditionally when maxThreads > 1; the
+        # max.crawl.delay gone-gate above still applies, it fires in
+        # FetcherThread before the item ever reaches a queue).
+        eff_delay = F.lit(cfg.fetcher_server_min_delay_ms)
+    else:
+        eff_delay = (F.when(
+            F.col("robots_delay_ms").isNotNull() & ~delay_over,
+            F.col("robots_delay_ms"))
+            .otherwise(F.lit(cfg.fetcher_server_delay_ms)))
 
     # FIFO order within a queue = HashComparator url-hash order
     # (Generator.java:386-416); row_number only over attempted items —
@@ -129,10 +141,15 @@ def schedule_fetchlist(fetchlist: DataFrame, pages: DataFrame,
         "_k",
         F.when(F.col("_attempted"),
                F.row_number().over(wa) - 1).otherwise(F.lit(0)))
+    # virtual completion time of the k-th attempted item: wave
+    # floor(k/threads) starts one effective delay after the previous
+    # wave finishes (with threads=1 this is the classic
+    # round_start + k × delay FIFO spacing of FetchItemQueue.java:128-138)
     fl = fl.withColumn(
         "virtual_time",
         (F.lit(round_start_ms)
-         + F.col("_k").cast("long") * F.col("_eff_delay")).cast("long"))
+         + (F.col("_k") / threads).cast("long")
+         * F.col("_eff_delay")).cast("long"))
 
     # fetcher.timelimit.mins → drop items past the budget
     # (Fetcher.java:391-397, hitByTimeLimit); they stay unfetched.
@@ -229,7 +246,6 @@ def outputs_from_schedule(scheduled: DataFrame, pages: DataFrame,
     materialized) schedule. ``crawl_fetch`` and ``linked`` are pure
     projections; ``content`` is the single place page bytes are read —
     an url-equi join of the success subset against the pages table."""
-    udfs = spark_udfs()
     empty_map = F.create_map().cast("map<string,string>")
 
     crawl_fetch = scheduled.select(
@@ -269,8 +285,10 @@ def outputs_from_schedule(scheduled: DataFrame, pages: DataFrame,
               .where(F.col("_fstatus").isin(FETCH_REDIR_PERM,
                                             FETCH_REDIR_TEMP)
                      & F.col("redirect_to").isNotNull())
+              # scope=fetcher (FetcherThread.java:428)
               .withColumn("_new_url",
-                          udfs["canonicalize"](F.col("redirect_to"))))
+                          normalizer_udf(cfg, "fetcher")(
+                              F.col("redirect_to"))))
     if cfg.ignore_external_links:
         redirs = redirs.where(
             host_col("url") == host_col("_new_url"))

@@ -290,7 +290,10 @@ def free_generate(urls: DataFrame, cfg: CrawlConfig,
           .select(F.trim(F.col("line")).alias("url"))
           .where((F.length("url") > 0) & ~F.col("url").startswith("#")))
     if normalize:
-        df = df.withColumn("url", udfs["canonicalize"](F.col("url"))) \
+        # scope=inject (FreeGenerator.java:87,101)
+        from ..functions.normalizers import normalizer_udf
+        df = df.withColumn("url",
+                           normalizer_udf(cfg, "inject")(F.col("url"))) \
             .where(F.col("url").isNotNull())
     if filter_urls:
         df = filter_accepts_col(df, cfg.url_filter_rules, "url") \

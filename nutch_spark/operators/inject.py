@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
-from ..functions.urls import spark_udfs
 from ..schema import DB_UNFETCHED, META_FIXED_INTERVAL
 
 NUTCH_SCORE = "nutch.score"
@@ -35,8 +34,6 @@ def parse_seeds(seeds: DataFrame, cfg: CrawlConfig,
     Vectorized: tab-split, metadata map from k=v pairs, reserved keys
     pulled out, canonicalization via the Arrow UDF, filter chain as
     JVM rlike when-chain (InjectMapper, Injector.java:95-192)."""
-    udfs = spark_udfs()
-
     df = (seeds
           .select(F.trim(F.col("line")).alias("line"))
           .where((F.length("line") > 0) & ~F.col("line").startswith("#"))
@@ -67,8 +64,10 @@ def parse_seeds(seeds: DataFrame, cfg: CrawlConfig,
                                         fixed_interval.cast("string")))) \
         .otherwise(user_meta)
 
+    # scope=inject chain (Injector.java:143, URLNormalizers.SCOPE_INJECT)
+    from ..functions.normalizers import normalizer_udf
     df = (df
-          .withColumn("url", udfs["canonicalize"](F.col("raw_url")))
+          .withColumn("url", normalizer_udf(cfg, "inject")(F.col("raw_url")))
           .where(F.col("url").isNotNull())
           .transform(lambda d: filter_accepts_col(
               d, cfg.url_filter_rules, "url"))

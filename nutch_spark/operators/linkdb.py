@@ -26,6 +26,22 @@ def invert_links(edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """(from_url, to_url, anchor) edges → LINKDB
     (url, inlinks array<struct<from_url, anchor>>)."""
     df = edges
+    if cfg.linkdb_url_normalizers:
+        # scope=linkdb on both endpoints (LinkDb.java:93,129,
+        # linkdb.url.normalizers, default off)
+        from ..functions.normalizers import normalizer_udf
+        norm = normalizer_udf(cfg, "linkdb")
+        df = (df.withColumn("from_url", norm(F.col("from_url")))
+                .withColumn("to_url", norm(F.col("to_url")))
+                .where(F.col("from_url").isNotNull()
+                       & F.col("to_url").isNotNull()))
+    if cfg.linkdb_url_filters:
+        # linkdb.url.filters (LinkDb.java:100-112,131-139, default off)
+        from ..functions.filters import filter_accepts_col
+        df = (filter_accepts_col(df, cfg.url_filter_rules, "from_url")
+              .where(F.col("accepted")).drop("accepted"))
+        df = (filter_accepts_col(df, cfg.url_filter_rules, "to_url")
+              .where(F.col("accepted")).drop("accepted"))
     if cfg.db_ignore_internal_links:
         # null host → skip, same host → skip (LinkDb.java:116-126)
         df = df.where(host_col("from_url").isNotNull()
@@ -99,7 +115,8 @@ def webgraph(edges: DataFrame, scores: DataFrame | None,
     return {"outlinkdb": out, "inlinkdb": inl, "nodedb": node}
 
 
-def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
+def find_loops(edges: DataFrame, depth: int = 2,
+               max_routes_per_node: int | None = 100_000) -> DataFrame:
     """Loops job (Loops.java:186-388): identify link cycles up to
     ``link.loops.depth`` (default 2) hops so LinkRank can exclude them.
 
@@ -117,6 +134,16 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
     reference warns about; the distinct() per pass keeps only unique
     (at, looking_for, first_hop) triples to bound it.
 
+    ``max_routes_per_node`` additionally caps the routes sitting at any
+    single node before each forwarding explode — on a dense graph a hub
+    with 10⁶ inlink-routes × 10³ outlinks would alone emit 10⁹ rows in
+    pass 2; the cap bounds every node's contribution at
+    cap × outdeg. Kept deterministic (smallest (looking_for,
+    first_hop) routes win) so repeated runs agree; None disables.
+    The cap binds only on hubs past the threshold — at the default
+    100k it is invisible on the test corpus (loops output unchanged)
+    and exists purely as the 100×-scale safety valve.
+
     Returns (url, loop_set array<string>)."""
     e = edges.select("from_url", "to_url").distinct()
     outsets = e.groupBy(F.col("from_url").alias("at")) \
@@ -127,10 +154,18 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
                       F.col("from_url").alias("looking_for"),
                       F.col("to_url").alias("first_hop"))
               .distinct())
+    def _cap_routes(r: DataFrame) -> DataFrame:
+        if not max_routes_per_node:
+            return r
+        w = Window.partitionBy("at").orderBy("looking_for", "first_hop")
+        return (r.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= max_routes_per_node)
+                 .drop("_rn"))
+
     found_parts = []
     for i in range(depth):
         last = i == depth - 1
-        j = routes.join(outsets, "at", "left") \
+        j = _cap_routes(routes).join(outsets, "at", "left") \
             .withColumn("_found",
                         F.array_contains(F.coalesce(
                             F.col("outs"),
@@ -198,13 +233,16 @@ def linkrank(edges: DataFrame, iterations: int = 10,
     if limit_domains:
         udfs = spark_udfs()
         e = e.withColumn("_dom", udfs["domain"](F.col("from_url")))
-    e = e.cache()
+    # loop-invariant edge frame: outdegree joined ONCE, cached with
+    # the dedup keys — the per-iteration work is then exactly one
+    # join (ranks) + the dedup/sum aggregations, instead of paying
+    # the outdeg join again every iteration
     outdeg = e.groupBy("from_url").agg(F.count("*").alias("deg"))
+    e = e.join(outdeg, "from_url").cache()
     ranks = nodes.withColumn("score", F.lit(1.0))
     rank_one = 1.0 - damping
     for _ in range(iterations):
         contrib = (e.join(ranks, e.from_url == ranks.url)
-                   .join(outdeg, "from_url")
                    .select(F.col("to_url").alias("url"),
                            (F.col("score") / F.col("deg")).alias("c"),
                            *([F.col("_page")] if limit_pages else []),

@@ -34,8 +34,9 @@ from pyspark.sql.types import (
 from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
 from ..functions.htmlparse import parse_html
+from ..functions.normalizers import normalizer_udf
 from ..functions.signatures import signature_col
-from ..functions.urls import host_col, spark_udfs
+from ..functions.urls import host_col
 from ..schema import (
     META_REPR_URL, OUTLINK, STATUS_LINKED, STATUS_PARSE_META,
     STATUS_SIGNATURE,
@@ -137,7 +138,6 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
 
     # outlink linked datums with OPIC distribution
     # (ParseOutputFormat.java:227-297, OPICScoringFilter.java:122-165)
-    udfs = spark_udfs()
     ol = (parsed
           .select("url", "score", "fetch_interval", "metadata",
                   F.slice(F.coalesce(F.col("_p.outlinks"),
@@ -147,7 +147,9 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
                           1, cfg.db_max_outlinks_per_page).alias("links"))
           .withColumn("_n", F.greatest(F.size("links"), F.lit(1)))
           .withColumn("link", F.explode("links"))
-          .withColumn("to_url", udfs["canonicalize"](F.col("link.to_url")))
+          # scope=outlink (ParseOutputFormat.java:98,314)
+          .withColumn("to_url",
+                      normalizer_udf(cfg, "outlink")(F.col("link.to_url")))
           .where(F.col("to_url").isNotNull()
                  & (F.col("to_url") != F.col("url"))))  # self-link drop
     if cfg.ignore_external_links:
@@ -195,7 +197,11 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
     from .fetch import _choose_repr_udf
     redir = (parsed
              .where(F.col("_p.redirect").isNotNull())
-             .withColumn("_new", udfs["canonicalize"](F.col("_p.redirect")))
+             # meta-refresh target normalizes with scope=fetcher
+             # (ParseOutputFormat.java:203)
+             .withColumn("_new",
+                         normalizer_udf(cfg, "fetcher")(
+                             F.col("_p.redirect")))
              .where(F.col("_new").isNotNull()
                     & (F.col("_new") != F.col("url"))))
     redir_rows = redir.select(

@@ -77,10 +77,11 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     # same canonical form merge in the groupBy below exactly like the
     # reference's re-keyed map output merges in its reduce.
     if cfg.db_update_normalize:
-        from ..functions.urls import spark_udfs
+        # scope=crawldb (CrawlDbFilter.java:69,92)
+        from ..functions.normalizers import normalizer_udf
         messages = (messages
                     .withColumn("url",
-                                spark_udfs()["canonicalize"](F.col("url")))
+                                normalizer_udf(cfg, "crawldb")(F.col("url")))
                     .where(F.col("url").isNotNull()))
     if cfg.db_update_filter:
         from ..functions.filters import filter_accepts_col

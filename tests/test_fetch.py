@@ -146,3 +146,40 @@ def test_content_only_for_success(spark, cfg):
     content = res["content"].collect()
     assert [c.url for c in content] == ["http://c.test/ok"]
     assert b"c.test" in bytes(content[0].html)
+
+
+def test_threads_per_queue_wave_spacing(spark):
+    """fetcher.threads.per.queue > 1 (FetchItemQueue.java:95-138):
+    waves of `threads` items dispatch together, spaced by
+    fetcher.server.min.delay; queue delay and robots crawl-delay are
+    ignored for spacing (setEndTime picks minCrawlDelay unconditionally
+    when maxThreads > 1, FetchItemQueue.java:133-136)."""
+    cfg = CrawlConfig(num_fetch_partitions=2,
+                      fetcher_threads_per_queue=3,
+                      fetcher_server_min_delay_ms=1000)
+    urls = [f"http://one.test/p{i}" for i in range(7)]
+    robots = _robots(spark, [
+        ("http://one.test", "User-agent: *\nCrawl-delay: 9\n", 200)])
+    out = fetch(_fetchlist(spark, urls), _pages(spark, urls),
+                robots, None, cfg, START)["crawl_fetch"] \
+        .orderBy("virtual_time", "url").collect()
+    # 7 items, 3 per wave -> waves of size 3,3,1 at +0s/+1s/+2s;
+    # the robots Crawl-delay: 9 must NOT stretch the spacing
+    assert sorted(r.virtual_time - START for r in out) == \
+        [0, 0, 0, 1000, 1000, 1000, 2000]
+    # FIFO within queue still url-hash order: wave k holds ranks 3k..3k+2
+    expect = sorted(urls, key=lambda u: (url_hash31(u), u))
+    by_url = {r.url: (r.virtual_time - START) // 1000 for r in out}
+    assert [by_url[u] for u in expect] == [0, 0, 0, 1, 1, 1, 2]
+    assert all(r.status == FETCH_SUCCESS for r in out)
+
+
+def test_threads_per_queue_one_keeps_robots_delay(spark):
+    """threads=1 path unchanged: robots crawl-delay still governs."""
+    cfg = CrawlConfig(num_fetch_partitions=2, fetcher_threads_per_queue=1)
+    urls = ["http://slow.test/a", "http://slow.test/b"]
+    robots = _robots(spark, [
+        ("http://slow.test", "User-agent: *\nCrawl-delay: 2\n", 200)])
+    out = fetch(_fetchlist(spark, urls), _pages(spark, urls),
+                robots, None, cfg, START)["crawl_fetch"].collect()
+    assert sorted(r.virtual_time - START for r in out) == [0, 2000]

@@ -96,3 +96,44 @@ def test_linkrank_page_dedup_query_strings(spark):
              for r in linkrank(e, iterations=1,
                                limit_domains=False).collect()}
     assert ranks["http://t.ex/"] == pytest.approx(0.15 + 0.85 * 1.0)
+
+
+def test_loops_route_cap_bounds_fanout(spark):
+    """max_routes_per_node: a hub accumulating more routes than the cap
+    forwards only `cap` of them — per-pass route volume is bounded at
+    cap × outdeg per node (the 100×-scale safety valve)."""
+    # star into hub h, hub fans out to 3 leaves, leaves loop back to
+    # their spoke: every spoke s_i seeds a route sitting at h
+    pairs = []
+    for i in range(8):
+        pairs.append((f"http://s{i}.ex/", "http://h.ex/"))
+    for j in range(3):
+        pairs.append(("http://h.ex/", f"http://l{j}.ex/"))
+    # make h have inlinks so routes seed THROUGH it, and close one loop
+    pairs.append(("http://l0.ex/", "http://s0.ex/"))
+    e = _edges(spark, pairs)
+
+    full = {(r.url, tuple(sorted(r.loop_set)))
+            for r in find_loops(e, depth=2,
+                                max_routes_per_node=None).collect()}
+    capped = {(r.url, tuple(sorted(r.loop_set)))
+              for r in find_loops(e, depth=2,
+                                  max_routes_per_node=2).collect()}
+    # capped output is a subset of the exact output, never a superset
+    assert capped <= full
+    # a generous cap changes nothing
+    loose = {(r.url, tuple(sorted(r.loop_set)))
+             for r in find_loops(e, depth=2,
+                                 max_routes_per_node=100).collect()}
+    assert loose == full
+
+
+def test_loops_cap_deterministic(spark):
+    pairs = [(f"http://s{i}.ex/", "http://h.ex/") for i in range(6)]
+    pairs += [("http://h.ex/", f"http://s{i}.ex/") for i in range(6)]
+    e = _edges(spark, pairs)
+    a = sorted((r.url, tuple(sorted(r.loop_set)))
+               for r in find_loops(e, max_routes_per_node=3).collect())
+    b = sorted((r.url, tuple(sorted(r.loop_set)))
+               for r in find_loops(e, max_routes_per_node=3).collect())
+    assert a == b

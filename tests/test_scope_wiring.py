@@ -1,0 +1,125 @@
+"""Scope-aware normalizer chains wired INTO the stages
+(URLNormalizers.java:96-170): a scoped rule set must affect exactly the
+stage that owns the scope — outlink rules change parse emissions but
+not inject; inject rules change seeds but not outlinks; the default
+config takes the cached fast-path UDF."""
+
+import pyspark.sql.functions as F
+
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.normalizers import normalizer_udf
+from nutch_spark.functions.urls import spark_udfs
+from nutch_spark.operators.inject import parse_seeds
+from nutch_spark.operators.parse import parse_segment
+from nutch_spark.schema import STATUS_LINKED
+
+START = 1_700_000_000_000
+
+# outlink-scope regex rule: strip a tracking param only on outlinks
+SCOPED = CrawlConfig(
+    normalizer_scope_regex_rules=(
+        ("outlink", ((r"[?&]utm_[a-z]+=[^&#]*", ""),)),
+    ),
+    # keep '?' urls through the filter chain so the param is observable
+    url_filter_rules=(("+", r"."),),
+)
+
+
+def _content(spark, html):
+    return spark.createDataFrame(
+        [("http://h.test/", html.encode(), "t", "en", START, 1.0, 3600,
+          None)],
+        "url string, html binary, text string, lang string, "
+        "fetch_time long, score double, fetch_interval int, "
+        "metadata map<string,string>")
+
+
+def _seeds(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "line string")
+
+
+def test_outlink_scope_affects_parse_not_inject(spark):
+    html = ('<html><body>'
+            '<a href="http://o.test/p?id=1&utm_source=x">x</a>'
+            '</body></html>')
+    out = parse_segment(_content(spark, html), SCOPED, START)
+    linked = (out["crawl_parse"]
+              .where(F.col("status") == STATUS_LINKED)
+              .select("url").collect())
+    assert [r.url for r in linked] == ["http://o.test/p?id=1"]
+
+    # the same url as a seed keeps its utm param: inject scope has no
+    # such rule
+    seeds = parse_seeds(
+        _seeds(spark, ["http://o.test/p?id=1&utm_source=x"]),
+        SCOPED, START).collect()
+    assert [r.url for r in seeds] == ["http://o.test/p?id=1&utm_source=x"]
+
+
+def test_inject_scope_rule_affects_seeds_only(spark):
+    cfg = CrawlConfig(
+        normalizer_scope_regex_rules=(
+            ("inject", ((r"[?&]ref=[^&#]*", ""),)),
+        ),
+        url_filter_rules=(("+", r"."),),
+    )
+    seeds = parse_seeds(
+        _seeds(spark, ["http://o.test/p?ref=abc"]), cfg, START).collect()
+    assert [r.url for r in seeds] == ["http://o.test/p"]
+
+    html = '<html><body><a href="http://o.test/q?ref=abc">x</a></body></html>'
+    linked = (parse_segment(_content(spark, html), cfg, START)["crawl_parse"]
+              .where(F.col("status") == STATUS_LINKED)
+              .select("url").collect())
+    assert [r.url for r in linked] == ["http://o.test/q?ref=abc"]
+
+
+def test_scope_chain_order_override(spark):
+    """urlnormalizer.order.<scope>: outlink chain adds querystring
+    sorting; inject keeps the stock chain."""
+    cfg = CrawlConfig(
+        normalizer_scope_orders=(
+            ("outlink", ("basic", "regex", "querystring")),
+        ),
+        url_filter_rules=(("+", r"."),),
+    )
+    html = '<html><body><a href="http://o.test/p?b=2&a=1">x</a></body></html>'
+    linked = (parse_segment(_content(spark, html), cfg, START)["crawl_parse"]
+              .where(F.col("status") == STATUS_LINKED)
+              .select("url").collect())
+    assert [r.url for r in linked] == ["http://o.test/p?a=1&b=2"]
+    seeds = parse_seeds(
+        _seeds(spark, ["http://o.test/p?b=2&a=1"]), cfg, START).collect()
+    assert [r.url for r in seeds] == ["http://o.test/p?b=2&a=1"]
+
+
+def test_default_config_uses_cached_fast_path():
+    cfg = CrawlConfig()
+    assert normalizer_udf(cfg, "outlink") is spark_udfs()["canonicalize"]
+    assert normalizer_udf(cfg, "inject") is spark_udfs()["canonicalize"]
+    # a scoped rule only un-caches its own scope
+    assert normalizer_udf(SCOPED, "inject") is spark_udfs()["canonicalize"]
+    assert normalizer_udf(SCOPED, "outlink") \
+        is not spark_udfs()["canonicalize"]
+
+
+def test_linkdb_normalize_and_filter(spark):
+    """linkdb.url.normalizers / linkdb.url.filters (LinkDb.java:93,129,
+    100-112): scope=linkdb normalization re-keys both endpoints;
+    the filter chain drops rejected targets."""
+    from nutch_spark.operators.linkdb import invert_links
+    cfg = CrawlConfig(
+        linkdb_url_normalizers=True,
+        linkdb_url_filters=True,
+        normalizer_scope_regex_rules=(
+            ("linkdb", ((r"[?&]sid=[^&#]*", ""),)),
+        ),
+        url_filter_rules=(("-", r"\.gif$"), ("+", r".")),
+        db_ignore_internal_links=False,
+    )
+    edges = spark.createDataFrame(
+        [("http://a.test/x", "http://b.test/p?sid=1", "t"),
+         ("http://a.test/x", "http://b.test/img.gif", "t")],
+        "from_url string, to_url string, anchor string")
+    rows = invert_links(edges, cfg).collect()
+    assert [r.url for r in rows] == ["http://b.test/p"]
