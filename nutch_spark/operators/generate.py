@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import CrawlConfig
 from ..functions.filters import filter_accepts_col
-from ..functions.urls import spark_udfs, with_host
+from ..functions.urls import host_col, spark_udfs
 from ..schema import META_GENERATE_TIME
 from . import schedules
 
@@ -74,11 +74,27 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
     if cfg.generate_min_interval != -1:
         df = df.where(F.col("fetch_interval") <= cfg.generate_min_interval)
 
-    # host or registered domain for the cap (Generator.java:262-282)
+    # host or registered domain for the cap (Generator.java:262-282);
+    # the cap key normalizes with scope=generate_host_count
+    # (Generator.java:148,267) — applied only when the config carries
+    # scoped normalizer rules, so default crawls keep the pure-JVM
+    # host extraction
+    cap_url = F.col("url")
+    scoped = dict(cfg.normalizer_scope_orders).get("generate_host_count") \
+        or dict(cfg.normalizer_scope_regex_rules).get("generate_host_count")
+    if scoped and cfg.generate_normalise:
+        from ..functions.normalizers import normalizer_udf
+        df = df.withColumn(
+            "_cap_url",
+            normalizer_udf(cfg, "generate_host_count")(cap_url))
+        cap_url = F.col("_cap_url")
     if cfg.generate_count_mode == "domain":
-        df = df.withColumn("_hostordomain", udfs["domain"](F.col("url")))
+        df = df.withColumn("_hostordomain", udfs["domain"](cap_url))
     else:
-        df = with_host(df, "url", "_hostordomain")
+        df = df.withColumn(
+            "_hostordomain",
+            F.coalesce(host_col(cap_url), F.lit("")))
+    df = df.drop("_cap_url") if "_cap_url" in df.columns else df
     df = df.where(F.col("_hostordomain").isNotNull()
                   & (F.col("_hostordomain") != ""))
 

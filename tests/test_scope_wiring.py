@@ -123,3 +123,34 @@ def test_linkdb_normalize_and_filter(spark):
         "from_url string, to_url string, anchor string")
     rows = invert_links(edges, cfg).collect()
     assert [r.url for r in rows] == ["http://b.test/p"]
+
+
+def test_generate_host_count_scope(spark):
+    """scope=generate_host_count (Generator.java:148,267): a scoped
+    rule collapsing mirror hosts makes the per-host cap count them as
+    one; without the rule they cap independently."""
+    from nutch_spark.operators.generate import generate
+    rows = [(f"http://m{i}.pool.test/p{j}", "db_unfetched", 0, 0, 3600,
+             1.0, None, 0, None)
+            for i in range(2) for j in range(4)]
+    db = spark.createDataFrame(
+        rows,
+        "url string, status string, fetch_time long, retries int, "
+        "fetch_interval int, score double, signature string, "
+        "modified_time long, metadata map<string,string>")
+    base = dict(generate_max_count=3, generate_filter=False,
+                num_fetch_partitions=2)
+    plain = generate(db, CrawlConfig(**base), cur_time_ms=1, gen_time_ms=1)
+    # maxCount-1 = 2 per host, two hosts -> 4
+    assert plain.count() == 4
+    scoped = CrawlConfig(
+        **base,
+        normalizer_scope_regex_rules=(
+            ("generate_host_count", ((r"//m\d+\.pool\.", "//pool."),)),
+        ))
+    merged = generate(db, scoped, cur_time_ms=1, gen_time_ms=1)
+    # both mirrors now share one cap key -> 2 urls total, and the
+    # emitted urls themselves are NOT rewritten (cap key only)
+    out = [r.url for r in merged.select("url").collect()]
+    assert len(out) == 2
+    assert all("//m" in u for u in out)
