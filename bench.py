@@ -92,6 +92,68 @@ def crawl_cycle(spark, sf: str, repl: int = 40) -> tuple[float, int]:
     return time.time() - t0, n_urls
 
 
+def crawlrun_cycle(spark, sf: str, repl: int = 40) -> tuple[float, int]:
+    """The SAME cycle through the shipped CrawlRun driver — bucketed
+    SnapshotTable crawldb storage, per-stage snapshot installs, bloom
+    pre-split, metrics. This is what a user actually runs; the
+    hand-wired crawl_cycle above isolates pure compute (and stays for
+    round-over-round comparability)."""
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+    from nutch_spark.crawl import CrawlRun
+
+    cfg = e.CFG.with_(generate_top_n=-1, generate_filter=False,
+                      num_fetch_partitions=CPUS)
+    r = spark.range(repl).select(F.col("id").alias("r"))
+    d = (e._docs(spark, sf).crossJoin(r)
+         .select((F.col("doc_id") * repl + F.col("r")).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" v"),
+                          F.col("r").cast("string")).alias("text"),
+                 "lang"))
+    i = F.col("doc_id")
+
+    def _u(c):
+        return F.concat(F.lit("http://host"), (c % 2000).cast("string"),
+                        F.lit(".test/p"), c.cast("string"))
+
+    db = d.select(
+        _u(i).alias("url"),
+        F.lit("db_unfetched").alias("status"),
+        ((i % 100) * 1000).cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        ((i % 97) / 10.0).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    pages = d.select(
+        _u(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        "text", "lang")
+    robots = spark.createDataFrame(
+        [], "authority string, robots_txt string, fetch_code int")
+
+    out = tempfile.mkdtemp(prefix="bench_crawlrun_", dir="/tmp")
+    try:
+        run = CrawlRun(spark, out, cfg, pages, robots, None)
+        # install the frontier as the round-0 snapshot + bloom, then
+        # time exactly one shipped round (generate→fetch→parse→
+        # updatedb→invertlinks→dedup, all snapshot installs included)
+        run._stage_crawldb(db, 0)
+        committed = run._commit_crawldb(0)
+        run._write_bloom(committed, 0)
+        t0 = time.time()
+        stats = run.run_round(1, e.CUR_TIME_MS)
+        dt = time.time() - t0
+        return dt, stats["fetched_rows"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     from nutch_spark.session import get_spark
     import __spark_entry__ as e
@@ -156,6 +218,8 @@ def main() -> None:
     cyc2, _ = crawl_cycle(spark, SF_DIR)
     cyc_sec = min(cyc_sec, cyc2)
     timings["crawl_cycle"] = round(cyc_sec, 3)
+    cr_sec, cr_urls = crawlrun_cycle(spark, SF_DIR)
+    timings["crawlrun_cycle"] = round(cr_sec, 3)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -167,6 +231,9 @@ def main() -> None:
         "crawl_cycle_urls": cyc_urls,
         "crawl_cycle_urls_per_sec": round(cyc_urls / max(cyc_sec, 1e-9),
                                           1),
+        "crawlrun_cycle_urls": cr_urls,
+        "crawlrun_cycle_urls_per_sec": round(
+            cr_urls / max(cr_sec, 1e-9), 1),
         "cores": CPUS,
         "cpu_canary_mops": {"start": canary_start, "end": cpu_canary()},
     }))

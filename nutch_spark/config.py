@@ -101,6 +101,16 @@ class CrawlConfig:
     indexer_delete_robots_noindex: bool = False
     indexer_skip_notmodified: bool = False    # indexer.skip.notmodified
 
+    # --- scoring plugin selection ---
+    # "opic" (OPICScoringFilter): outlinks inherit parent/n score,
+    # updatedb adds inlink scores, indexer boost = score^0.5.
+    # "link" (scoring-link LinkAnalysisScoringFilter): outlink
+    # distribution and updatedb accumulation are no-ops (scores come
+    # from LinkRank via score_updater), indexer boost =
+    # link.analyze.normalize.score × score.
+    scoring_filter: str = "opic"
+    link_analyze_normalize_score: float = 1.0
+
     # --- scoring-depth plugin (DepthScoringFilter.java) ---
     scoring_depth_enabled: bool = False
     scoring_depth_max: int = 1000             # scoring.depth.max

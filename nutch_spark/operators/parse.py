@@ -160,6 +160,12 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
     same_host = host_col("url") == host_col("to_url")
     factor = F.when(same_host, F.lit(cfg.db_score_link_internal)) \
         .otherwise(F.lit(cfg.db_score_link_external))
+    # OPIC distributes parent_score/n×factor to targets; scoring-link
+    # leaves targets at initialScore 0.0
+    # (LinkAnalysisScoringFilter.distributeScoreToOutlinks /
+    # initialScore)
+    linked_score = (F.lit(0.0) if cfg.scoring_filter == "link"
+                    else (F.col("score") / F.col("_n") * factor))
     # scoring-depth: child depth = parent depth + 1, hops past
     # scoring.depth.max are dropped (DepthScoringFilter.java)
     link_meta = F.create_map(
@@ -183,8 +189,7 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
         F.lit(0).cast("int").alias("retries"),
         F.lit(cfg.db_fetch_interval_default).cast("int")
          .alias("fetch_interval"),
-        (F.col("score") / F.col("_n") * factor).cast("double")
-         .alias("score"),
+        linked_score.cast("double").alias("score"),
         F.lit(None).cast("string").alias("signature"),
         F.lit(0).cast("long").alias("modified_time"),
         link_meta.alias("metadata"))

@@ -231,5 +231,11 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
         udfs["host"](F.col("url")).alias("host"),
         "title", "text", "anchors",
         F.col("signature").alias("digest"),
-        F.pow(F.greatest(F.col("score"), F.lit(0.0)), 0.5).alias("boost"),
+        # OPIC boost = score^0.5 (OPICScoringFilter.java:168-172);
+        # scoring-link boost = normalize × score
+        # (LinkAnalysisScoringFilter.indexerScore)
+        (F.lit(cfg.link_analyze_normalize_score) * F.col("score")
+         if cfg.scoring_filter == "link"
+         else F.pow(F.greatest(F.col("score"), F.lit(0.0)), 0.5))
+        .alias("boost"),
         "fetched_at")

@@ -324,8 +324,11 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     modified = F.when(force, F.lit(0).cast("long")).otherwise(modified)
 
     # OPIC updateDbScore (OPICScoringFilter.java:95-105):
-    # score = (old if set else result).score + Σ link scores
-    link_sum = F.coalesce(F.col("link_sum"), F.lit(0.0))
+    # score = (old if set else result).score + Σ link scores.
+    # scoring-link (LinkAnalysisScoringFilter.updateDbScore): no-op —
+    # crawldb scores are owned by LinkRank via score_updater
+    link_sum = F.lit(0.0) if cfg.scoring_filter == "link" \
+        else F.coalesce(F.col("link_sum"), F.lit(0.0))
     base_score = (F.when(no_fetch | link_keep_old | has_old, old["score"])
                    .when(link_new, F.lit(0.0))     # initialScore
                    .otherwise(fetch["score"]))

@@ -154,3 +154,50 @@ def test_generate_host_count_scope(spark):
     out = [r.url for r in merged.select("url").collect()]
     assert len(out) == 2
     assert all("//m" in u for u in out)
+
+
+def test_scoring_link_plugin(spark):
+    """scoring-link (LinkAnalysisScoringFilter): outlink distribution
+    and updatedb accumulation are no-ops; indexer boost is linear."""
+    from nutch_spark.operators.parse import parse_segment
+    from nutch_spark.operators.updatedb import updatedb
+    from nutch_spark.operators.readers import indexer_docs
+
+    cfg = CrawlConfig(scoring_filter="link",
+                      link_analyze_normalize_score=2.0,
+                      url_filter_rules=(("+", r"."),))
+    html = '<html><body><a href="http://o.test/q">x</a></body></html>'
+    content = spark.createDataFrame(
+        [("http://h.test/", html.encode(), "t", "en", START, 4.0, 3600,
+          None)],
+        "url string, html binary, text string, lang string, "
+        "fetch_time long, score double, fetch_interval int, "
+        "metadata map<string,string>")
+    linked = (parse_segment(content, cfg, START)["crawl_parse"]
+              .where(F.col("status") == STATUS_LINKED).collect())
+    assert [r.score for r in linked] == [0.0]  # no distribution
+
+    # updatedb: linked rows do NOT accumulate into the db score
+    db = spark.createDataFrame(
+        [("http://o.test/q", "db_fetched", 0, 0, 3600, 4.0, None, 0,
+          None)],
+        "url string, status string, fetch_time long, retries int, "
+        "fetch_interval int, score double, signature string, "
+        "modified_time long, metadata map<string,string>")
+    msgs = spark.createDataFrame(
+        [("http://o.test/q", "linked", 0, 0, 3600, 9.9, None, 0, None)],
+        db.schema)
+    out = updatedb(db, msgs, cfg, START).collect()
+    assert [r.score for r in out] == [4.0]
+
+    # indexer boost = normalize × score (not sqrt)
+    d = db.withColumn("signature", F.lit("sig"))
+    cf = spark.createDataFrame(
+        [("http://o.test/q", "fetch_success", 1)],
+        "url string, status string, fetch_time long")
+    pt = spark.createDataFrame([("http://o.test/q", "t")],
+                               "url string, text string")
+    pd_ = spark.createDataFrame(
+        [("http://o.test/q", "T")], "url string, title string")
+    docs = indexer_docs(d, None, pt, pd_, cf, cfg).collect()
+    assert [r.boost for r in docs] == [8.0]
