@@ -171,11 +171,21 @@ def find_loops(edges: DataFrame, depth: int = 2,
                             F.col("outs"),
                             F.array().cast("array<string>")),
                             F.col("looking_for")))
-        found_parts.append(
-            j.where(F.col("_found"))
-             .select("looking_for", "first_hop"))
+        found_i = j.where(F.col("_found")) \
+            .select("looking_for", "first_hop").distinct() \
+            .localCheckpoint(eager=False)
+        found_parts.append(found_i)
         if not last:
+            # prune before the explode: a route only exists to add its
+            # (looking_for, first_hop) pair to the loop set — once ANY
+            # route found that pair this pass, every sibling carrying
+            # it is redundant and need not fan out (output-identical;
+            # the finalizer dedups pairs anyway). On dense graphs this
+            # removes most of the outdeg^depth blow-up the reference
+            # warns about.
             routes = (j.where(~F.col("_found"))
+                      .join(found_i, ["looking_for", "first_hop"],
+                            "left_anti")
                       .select(F.explode("outs").alias("at"),
                               "looking_for", "first_hop")
                       .distinct()
