@@ -614,6 +614,16 @@ def q_ann_lsh(spark, sf):
     return ann.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=24)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF top-k: deterministic hash-seeded codebook + 2 Lloyd steps,
+    n_probe-cell probing, exact cosine rerank — the ANN scale path
+    beside the hyperplane-LSH one (recall pinned vs ann_topk in
+    tests/test_approx_recall.py)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ann.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6)
+
+
 def q_embedding_neardup(spark, sf):
     """LSH-blocked cosine near-dup with self-tuned (planes, tables)
     from auto_lsh_params — recall-targeted instead of hand-guessed
@@ -690,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,

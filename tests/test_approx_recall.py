@@ -108,3 +108,30 @@ def test_ngram_jaccard_blocked_recall_vs_exact(docs):
     assert blocked <= exact
     recall = len(blocked) / max(1, len(exact))
     assert recall >= 0.9, f"ngram_jaccard recall {recall:.3f} < 0.9"
+
+
+def test_ann_ivf_recall_at_k(emb):
+    """IVF top-k recall vs the exact baseline; probing more cells
+    monotonically helps (same codebook)."""
+    from nutch_spark.operators.ann import ivf_centroids, ivf_topk
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    cents = ivf_centroids(emb, n_centroids=16)
+    few = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, queries, k=5, n_probe=2,
+                             centroids=cents).collect()}
+    many = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=5, n_probe=8,
+                              centroids=cents).collect()}
+    r_few = len(few & exact) / len(exact)
+    r_many = len(many & exact) / len(exact)
+    assert r_many >= r_few
+    assert r_many >= 0.5, f"ivf recall@5 nprobe=8 {r_many:.3f} < 0.5"
+
+
+def test_ivf_centroids_deterministic(emb):
+    from nutch_spark.operators.ann import ivf_centroids
+    a = ivf_centroids(emb, n_centroids=8, lloyd_iters=1)
+    b = ivf_centroids(emb, n_centroids=8, lloyd_iters=1)
+    assert a == b
