@@ -104,7 +104,17 @@ def schedule_fetchlist(fetchlist: DataFrame, pages: DataFrame,
         # JVM expression — whole-stage codegen, no Python worker
         fl = fl.withColumn("queue_id", queue_id_col("url"))
     else:
-        fl = fl.withColumn("queue_id", udfs["queue_id"](F.col("url")))
+        # byDomain (FetchItemQueues.java:54-74): key on the registered
+        # domain. The cached queue_id UDF is byHost-only — build the
+        # mode-closed UDF here (the round-2 cached call silently fell
+        # back to byHost keys)
+        from ..functions.urls import queue_id as _qid
+
+        @pandas_udf("string")
+        def _queue_domain(urls: pd.Series) -> pd.Series:
+            return urls.map(
+                lambda u: _qid(u, "byDomain") if u is not None else None)
+        fl = fl.withColumn("queue_id", _queue_domain(F.col("url")))
 
     delay_over = (F.col("robots_delay_ms").isNotNull()
                   & (F.col("robots_delay_ms") > cfg.fetcher_max_crawl_delay_ms))

@@ -183,3 +183,26 @@ def test_threads_per_queue_one_keeps_robots_delay(spark):
     out = fetch(_fetchlist(spark, urls), _pages(spark, urls),
                 robots, None, cfg, START)["crawl_fetch"].collect()
     assert sorted(r.virtual_time - START for r in out) == [0, 2000]
+
+
+def test_queue_mode_by_domain(spark):
+    """fetcher.queue.mode=byDomain (FetchItemQueues.java:54-74): two
+    hosts of one registered domain share a politeness queue; byHost
+    schedules them independently."""
+    cfg_d = CrawlConfig(num_fetch_partitions=2,
+                        fetcher_queue_mode="byDomain")
+    # example.com is in the reference suffix table's registered-domain
+    # walk (com is a TLD), so a.example.com/b.example.com -> example.com
+    urls = ["http://a.example.com/x", "http://b.example.com/y"]
+    out = fetch(_fetchlist(spark, urls), _pages(spark, urls),
+                _robots(spark), None, cfg_d, START)["crawl_fetch"].collect()
+    qids = {r.queue_id for r in out}
+    assert qids == {"http://example.com"}
+    assert sorted(r.virtual_time - START for r in out) == [0, 5000]
+
+    cfg_h = CrawlConfig(num_fetch_partitions=2)
+    out_h = fetch(_fetchlist(spark, urls), _pages(spark, urls),
+                  _robots(spark), None, cfg_h, START)["crawl_fetch"].collect()
+    assert {r.queue_id for r in out_h} == {"http://a.example.com",
+                                           "http://b.example.com"}
+    assert [r.virtual_time - START for r in out_h] == [0, 0]
