@@ -42,7 +42,8 @@ class CrawlRun:
                  cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame, http_status: DataFrame | None = None,
                  use_bloom: bool = True, bloom_buckets: int = 64,
-                 storage: str = "bucketed", db_buckets: int = 32):
+                 storage: str = "bucketed", db_buckets: int = 32,
+                 linkrank_every: int = 1, linkrank_iterations: int = 10):
         """``storage``:
 
         - ``"bucketed"`` (default, the production layout): crawldb
@@ -63,6 +64,10 @@ class CrawlRun:
         self.http_status = http_status
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
+        # scoring_filter="link" only: run webgraph→linkrank→
+        # scoreupdater every N rounds (0 disables)
+        self.linkrank_every = linkrank_every
+        self.linkrank_iterations = linkrank_iterations
         if storage not in ("bucketed", "parquet"):
             raise ValueError(f"storage must be bucketed|parquet: {storage}")
         self.storage = storage
@@ -309,6 +314,25 @@ class CrawlRun:
         ldb = self._write(ldb, "linkdb", rnd)
         self._metric(rnd, "invertlinks", rows=ldb.count(),
                      sec=time.time() - t0)
+
+        # link-analysis scoring (bin/crawl:260-277 — the webgraph →
+        # linkrank → scoreupdater steps the reference ships commented
+        # out; enabled here by scoring_filter="link"): ranks computed
+        # on this round's link graph replace the crawldb scores before
+        # the snapshot commits, so the NEXT generate orders by LinkRank
+        if cfg.scoring_filter == "link" and self.linkrank_every > 0 \
+                and rnd % self.linkrank_every == 0:
+            t0 = time.time()
+            raw_edges = edges.select("from_url", "to_url")
+            loops = linkdb_op.find_loops(raw_edges, depth=2)
+            ranks = linkdb_op.linkrank(
+                raw_edges, iterations=self.linkrank_iterations,
+                loops=loops)
+            nodedb = ranks  # (url, score) is all score_updater needs
+            new_db = linkdb_op.score_updater(new_db, nodedb)
+            new_db = self._stage_crawldb(new_db, rnd)
+            self._metric(rnd, "linkrank", rows=ranks.count(),
+                         sec=time.time() - t0)
 
         if self.use_bloom:
             self._write_bloom(new_db, rnd)

@@ -17,9 +17,12 @@ per BASELINE.json input_hint — no live network):
 2. **deterministic virtual-time schedule**: within each queue the k-th
    *attempted* URL (FIFO in HashComparator url-hash order, matching the
    fetchlist shuffle order of Generator.java:386-416) completes at
-   ``round_start + k × effective_delay(queue)`` — this reproduces the
-   crawl-ordering contract without threads, and the timelimit becomes a
-   filter on virtual time (Fetcher.java:391-397);
+   ``round_start + floor(k / threads) × effective_delay(queue)`` —
+   waves of ``fetcher.threads.per.queue`` items spaced by the
+   effective delay (fetcher.server.min.delay when threads > 1,
+   FetchItemQueue.java:133-136). This reproduces the crawl-ordering
+   contract without threads, and the timelimit becomes a filter on
+   virtual time (Fetcher.java:391-397);
 3. equi-join of the surviving fetchlist against ``http_status`` and
    ``pages`` on url (the protocol GET);
 4. one ``when``-chain maps protocol outcome → fetch status;

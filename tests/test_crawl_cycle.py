@@ -202,3 +202,18 @@ def test_resume_reuses_pinned_virtual_clock(spark, tmp_path, fixture):
     rows_re = sorted((r.url, r.status, r.fetch_time)
                      for r in db_res.collect())
     assert rows_ok == rows_re
+
+
+def test_link_scoring_cycle(spark, tmp_path, fixture):
+    """scoring_filter='link' runs webgraph→linkrank→scoreupdater inside
+    the round (bin/crawl:260-277, shipped commented-out there): crawldb
+    scores after the round are LinkRank values — (1-d) + d·x, so graph
+    members score >= rank-one and urls outside the round's webgraph are
+    cleared to 0 (ScoreUpdater), never the OPIC-style seed 1.0."""
+    run, db = _run(spark, tmp_path / "c", fixture, rounds=1,
+                   scoring_filter="link")
+    rows = {r.url: r.score for r in db.collect()}
+    assert rows, "cycle produced an empty crawldb"
+    assert all(abs(s) < 1e-9 or s >= 0.1499 for s in rows.values())
+    lr = [m for m in run.metrics if m["stage"] == "linkrank"]
+    assert lr and lr[0]["rows"] > 0
