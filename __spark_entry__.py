@@ -342,6 +342,84 @@ def q_indexer_deletes(spark, sf):
     return readers.indexer_deletes(db, pd_, cf, cfg)
 
 
+def q_indexer_filters(spark, sf):
+    """Indexing-filter plugin chain (src/plugin/index-*) over
+    indexer_docs output: basic truncation, anchor dedup, index-more
+    header fields, index-metadata, index-static, tld (public-suffix
+    walk incl. multi-label co.uk), mimetype accept-filter,
+    subcollection. Headers are deterministic functions of doc_id so
+    DuckDB reproduces the full chain."""
+    from nutch_spark.operators.indexing_filters import (
+        apply_indexing_filters)
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    tld = (F.when(i % 4 == 0, "com").when(i % 4 == 1, "org")
+            .when(i % 4 == 2, "net").otherwise("co.uk"))
+    url = F.concat(F.lit("http://host"), (i % 40).cast("string"),
+                   F.lit("."), tld, F.lit("/p"), i.cast("string"))
+    meta = F.map_filter(F.map_from_arrays(
+        F.array(F.lit("Content-Type"), F.lit("Content-Length"),
+                F.lit("Last-Modified"), F.lit("Content-Disposition")),
+        F.array(
+            F.when(i % 3 == 0, "Text/HTML; charset=utf-8")
+             .when(i % 3 == 1, F.lit("application/pdf")),
+            F.concat(F.lit(" "), (1000 + i % 500).cast("string"),
+                     F.lit(" ")),
+            F.when(i % 2 == 0,
+                   (F.lit(1_600_000_000_000) + i).cast("string")),
+            F.when(i % 5 == 0,
+                   F.concat(F.lit('inline; filename="f'),
+                            i.cast("string"), F.lit('.pdf"'))))),
+        lambda k, v: v.isNotNull())
+    db = d.select(
+        url.alias("url"), F.lit("db_fetched").alias("status"),
+        ((i % 97) / 10.0).cast("double").alias("score"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("signature"))
+    cf = d.select(url.alias("url"),
+                  F.lit("fetch_success").alias("status"),
+                  F.lit(INDEX_FETCH_MS).cast("long").alias("fetch_time"),
+                  meta.alias("metadata"))
+    pt = d.select(url.alias("url"), "text")
+    pd_ = d.select(
+        url.alias("url"),
+        F.when(i % 10 != 0,
+               F.repeat(F.lit("t"), (1 + i % 149).cast("int")))
+         .alias("title"),
+        F.lit(None).cast("array<struct<to_url:string,anchor:string>>")
+         .alias("outlinks"))
+    linkdb = d.select(
+        url.alias("url"),
+        F.array(
+            F.struct(F.lit("u").alias("from_url"),
+                     F.concat(F.lit("A"), (i % 3).cast("string"))
+                      .alias("anchor")),
+            F.struct(F.lit("u").alias("from_url"),
+                     F.concat(F.lit("a"), (i % 3).cast("string"))
+                      .alias("anchor")),
+            F.struct(F.lit("u").alias("from_url"),
+                     F.lit("B").alias("anchor"))).alias("inlinks"))
+    cfg = CFG.with_(
+        indexing_filters=("basic", "anchor", "more", "metadata",
+                          "static", "tld", "mimetype", "subcollection"),
+        anchor_deduplicate=True,
+        indexer_max_content_length=40,
+        index_parse_md=("Content-Type",),
+        index_static=(("source", "webcrawl"), ("tags", ("t1", "t2"))),
+        mimetype_filter_prefixes=("text/", "application/"),
+        subcollections=(("p1s", ("/p1",), ("host1.",)),
+                        ("coms", (".com/",), ())))
+    doc = readers.indexer_docs(db, linkdb, pt, pd_, cf, cfg)
+    out = apply_indexing_filters(doc, cfg)
+    return out.select(
+        "url", "host", "tld", "title", "anchors", "text", "type",
+        "primary_type", "sub_type", "content_length",
+        F.unix_millis("last_modified").alias("last_modified_ms"),
+        F.unix_millis("date").alias("date_ms"),
+        F.col("content-type").alias("raw_content_type"),
+        "source", "tags", "subcollection",
+        F.round("boost", 6).alias("boost"))
+
+
 def q_parse_extract(spark, sf):
     d = _docs(spark, sf)
     i = F.col("doc_id")
@@ -671,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_merge": q_crawldb_merge,
         "indexer_docs": q_indexer_docs,
         "indexer_deletes": q_indexer_deletes,
+        "indexer_filters": q_indexer_filters,
         "parse_extract": q_parse_extract,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -946,6 +1025,55 @@ r AS (
          END AS reason
   FROM j)
 SELECT url, reason FROM r WHERE reason IS NOT NULL""",
+
+        # full indexing-filter chain: basic truncation -> anchor dedup
+        # -> index-more header fields -> index-metadata -> index-static
+        # -> tld -> mimetype accept (drops null-type) -> subcollection
+        "indexer_filters": """
+WITH base AS (
+  SELECT doc_id, text,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      WHEN 2 THEN 'net' ELSE 'co.uk' END AS tld,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'text/html'
+      WHEN 1 THEN 'application/pdf' END AS type,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'Text/HTML; charset=utf-8'
+      WHEN 1 THEN 'application/pdf' END AS raw_content_type,
+    CAST(doc_id % 97 AS DOUBLE) / 10.0 AS score,
+    CASE WHEN doc_id % 10 <> 0
+         THEN repeat('t', CAST(LEAST(1 + doc_id % 149, 100) AS INTEGER))
+         ELSE 'f' || CAST(doc_id AS VARCHAR) || '.pdf' END AS title,
+    CAST(1000 + doc_id % 500 AS BIGINT) AS content_length,
+    CASE WHEN doc_id % 2 = 0
+         THEN 1600000000000 + doc_id END AS lm
+  FROM documents),
+b2 AS (
+  SELECT *,
+    'host' || CAST(doc_id % 40 AS VARCHAR) || '.' || tld AS host,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.' || tld
+      || '/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM base)
+SELECT url, host, tld, title,
+  ['A' || CAST(doc_id % 3 AS VARCHAR), 'B'] AS anchors,
+  SUBSTR(text, 1, 40) AS text,
+  type,
+  split_part(type, '/', 1) AS primary_type,
+  split_part(type, '/', 2) AS sub_type,
+  content_length,
+  lm AS last_modified_ms,
+  COALESCE(lm, 3000000) AS date_ms,
+  raw_content_type,
+  'webcrawl' AS source,
+  ['t1', 't2'] AS tags,
+  list_filter([
+    CASE WHEN url LIKE '%/p1%' AND url NOT LIKE '%host1.%'
+         THEN 'p1s' END,
+    CASE WHEN url LIKE '%.com/%' THEN 'coms' END],
+    x -> x IS NOT NULL) AS subcollection,
+  ROUND(SQRT(score), 6) AS boost
+FROM b2 WHERE type IS NOT NULL""",
 
         "parse_extract": """
 SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'

@@ -101,6 +101,22 @@ class CrawlConfig:
     indexer_delete_robots_noindex: bool = False
     indexer_skip_notmodified: bool = False    # indexer.skip.notmodified
 
+    # --- indexing-filter plugins (IndexingFilters chain over the
+    # indexer_docs frame; src/plugin/index-* — see
+    # operators/indexing_filters.py). Order = indexingfilter.order. ---
+    indexing_filters: tuple[str, ...] = ()
+    indexer_max_title_length: int = 100   # indexer.max.title.length
+    indexer_max_content_length: int = -1  # indexer.max.content.length
+    anchor_deduplicate: bool = False      # anchorIndexingFilter.deduplicate
+    more_index_mime_parts: bool = True    # moreIndexingFilter.indexMimeTypeParts
+    index_parse_md: tuple[str, ...] = ()  # index.parse.md
+    # index.static: ((field, value) | (field, (v1, v2, ...)), ...)
+    index_static: tuple[tuple, ...] = ()
+    mimetype_filter_mode: str = "accept"  # rule-file leading + / -
+    mimetype_filter_prefixes: tuple[str, ...] = ()
+    # ((name, (white substrings...), (black substrings...)), ...)
+    subcollections: tuple[tuple, ...] = ()
+
     # --- scoring plugin selection ---
     # "opic" (OPICScoringFilter): outlinks inherit parent/n score,
     # updatedb adds inlink scores, indexer boost = score^0.5.

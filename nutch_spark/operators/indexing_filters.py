@@ -1,0 +1,230 @@
+"""Indexing-filter plugins — optional column adders over the indexable
+document frame produced by :func:`readers.indexer_docs`.
+
+The reference chains IndexingFilter plugins over each NutchDocument
+(IndexingFilters.java; plugin order = ``indexingfilter.order``). Each
+plugin adds/edits fields; one (mimetype-filter) can drop the document.
+Spark mapping: each plugin is a pure-column transformation
+``DataFrame -> DataFrame`` — no UDFs except the already-vectorized
+domain-suffix walk for ``tld`` — chained by
+:func:`apply_indexing_filters` in ``cfg.indexing_filters`` order, so
+the whole chain stays inside one whole-stage-codegen span regardless
+of how many plugins are on.
+
+Plugins reproduced (reference file:line in each function):
+
+- ``basic``      BasicIndexingFilter.java   (title/content truncation)
+- ``anchor``     AnchorIndexingFilter.java  (case-insensitive dedup)
+- ``more``       MoreIndexingFilter.java    (type/length/dates/title)
+- ``metadata``   MetadataIndexer.java       (metadata keys -> fields)
+- ``static``     StaticFieldIndexer.java    (constant fields)
+- ``tld``        TLDIndexingFilter.java     (public-suffix field)
+- ``mimetype``   MimeTypeIndexingFilter.java (accept/reject by prefix)
+- ``subcollection`` SubcollectionIndexingFilter.java (matching names)
+
+HTTP response headers travel in the document's ``metadata``
+map<string,string> column (the fetcher's content metadata — the
+reference reads the same keys from ParseData's content metadata).
+Engine convention: ``Last-Modified`` holds epoch **milliseconds** as a
+decimal string — the engine normalizes header dates at fetch time
+instead of carrying the reference's 23-format Java date parser
+(MoreIndexingFilter.java:121-151) into every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CrawlConfig
+from ..functions.urls import spark_udfs
+
+def _meta(doc: DataFrame, key: str):
+    """Header lookup that is null-safe when the doc has no metadata."""
+    if "metadata" not in doc.columns:
+        return F.lit(None).cast("string")
+    empty = F.create_map().cast("map<string,string>")
+    return F.element_at(F.coalesce(F.col("metadata"), empty), F.lit(key))
+
+
+def _digits_to_long(col):
+    """ANSI-safe string->long: null unless the trimmed value is all
+    digits (NUTCH-1010: Content-Length not trimmed)."""
+    t = F.trim(col)
+    return F.when(t.rlike(r"^\d+$"), t.cast("long"))
+
+
+def index_basic(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-basic truncations (BasicIndexingFilter.java:70-90):
+    title capped at ``indexer.max.title.length`` (default 100) and
+    content at ``indexer.max.content.length`` (default -1 = no cap).
+    The field *construction* (host/url/content/title/tstamp) already
+    happens in :func:`readers.indexer_docs`."""
+    out = doc
+    if cfg.indexer_max_title_length >= 0 and "title" in doc.columns:
+        out = out.withColumn(
+            "title", F.substring("title", 1, cfg.indexer_max_title_length))
+    if cfg.indexer_max_content_length >= 0 and "text" in doc.columns:
+        out = out.withColumn(
+            "text", F.substring("text", 1, cfg.indexer_max_content_length))
+    return out
+
+
+def index_anchor(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-anchor (AnchorIndexingFilter.java:60-90): when
+    ``anchorIndexingFilter.deduplicate`` is on, drop anchors whose
+    lowercase form was already seen, keeping the FIRST original-case
+    occurrence (the reference's HashSet insert order)."""
+    if not cfg.anchor_deduplicate or "anchors" not in doc.columns:
+        return doc
+    dedup = F.aggregate(
+        F.col("anchors"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            x.isNull() | F.exists(acc, lambda y: F.lower(y) == F.lower(x)),
+            acc).otherwise(F.concat(acc, F.array(x))))
+    return doc.withColumn(
+        "anchors", F.when(F.col("anchors").isNotNull(), dedup))
+
+
+def index_more(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-more (MoreIndexingFilter.java):
+
+    - ``last_modified`` from the Last-Modified header (epoch-ms
+      convention, see module docstring) — :84-118;
+    - ``date`` = last-modified, else the fetch time (the datum's
+      modified_time branch collapses into fetched_at here because the
+      indexer join carries the fetch datum's time) — :95-118;
+    - ``content_length`` from Content-Length, trimmed (NUTCH-1010)
+      — :153-164;
+    - ``type`` = cleaned mime (params stripped, lowercased =
+      MimeUtil.cleanMimeType) plus ``primary_type``/``sub_type``
+      when ``moreIndexingFilter.indexMimeTypeParts`` (the reference
+      multi-values one field; columns are the DataFrame analog)
+      — :186-255;
+    - title reset from a Content-Disposition ``filename=`` hint when
+      the doc has no title — :257-292.
+    """
+    lm_ms = _digits_to_long(_meta(doc, "Last-Modified"))
+    date_ms = F.coalesce(lm_ms, F.col("fetched_at").cast("long")
+                         if "fetched_at" in doc.columns
+                         else F.lit(None).cast("long"))
+    ct = F.lower(F.trim(F.split_part(_meta(doc, "Content-Type"),
+                                     F.lit(";"), F.lit(1))))
+    ct = F.when(ct != "", ct)
+    out = (doc
+           .withColumn("last_modified", F.timestamp_millis(lm_ms))
+           .withColumn("date", F.timestamp_millis(date_ms))
+           .withColumn("content_length",
+                       _digits_to_long(_meta(doc, "Content-Length")))
+           .withColumn("type", ct))
+    if cfg.more_index_mime_parts:
+        out = (out
+               .withColumn("primary_type",
+                           F.split_part(F.col("type"), F.lit("/"), F.lit(1)))
+               .withColumn("sub_type",
+                           F.when(F.col("type").contains("/"),
+                                  F.split_part(F.col("type"), F.lit("/"),
+                                               F.lit(2)))))
+    if "title" in doc.columns:
+        cd = _meta(doc, "Content-Disposition")
+        quoted = F.regexp_extract(cd, r"""\bfilename=['"]([^'"]+)['"]""", 1)
+        bare = F.regexp_extract(cd, r"""\bfilename=(\S+)""", 1)
+        hint = F.when(quoted != "", quoted).otherwise(
+            F.when(bare != "", bare))
+        out = out.withColumn(
+            "title", F.coalesce(F.col("title"), hint))
+    return out
+
+
+def index_metadata(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-metadata (MetadataIndexer.java:57-85): copy the
+    configured ``index.parse.md`` keys out of the metadata map into
+    top-level fields (field name = key lowercased, the reference's
+    Locale.ROOT lowering of the parse-md tag)."""
+    out = doc
+    for key in cfg.index_parse_md:
+        out = out.withColumn(key.lower(), _meta(doc, key))
+    return out
+
+
+def index_static(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-static (StaticFieldIndexer.java:60-115): constant
+    field:value pairs from ``index.static``; multiple values for one
+    field (the reference's valuesep split) become an array column."""
+    out = doc
+    for name, values in cfg.index_static:
+        vals = (values,) if isinstance(values, str) else tuple(values)
+        out = out.withColumn(
+            name, F.lit(vals[0]) if len(vals) == 1
+            else F.array(*[F.lit(v) for v in vals]))
+    return out
+
+
+def index_tld(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """tld plugin (TLDIndexingFilter.java:49-61): ``tld`` = the url
+    host's matched public suffix (URLUtil.getDomainSuffix — the full
+    reference suffix table, vectorized)."""
+    return doc.withColumn("tld", spark_udfs()["suffix"](F.col("url")))
+
+
+def mimetype_filter(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """mimetype-filter (MimeTypeIndexingFilter.java:110-200): keep or
+    drop whole documents by content type. Rules are prefixes
+    (PrefixStringMatcher); the mode mirrors the rule file's leading
+    ``+`` (accept: keep only matching) / ``-`` (reject: drop
+    matching). A document with no resolved type matches nothing.
+    Run AFTER :func:`index_more` (which resolves ``type``)."""
+    if not cfg.mimetype_filter_prefixes:
+        return doc
+    prefixes = F.array(*[F.lit(p) for p in cfg.mimetype_filter_prefixes])
+    matched = F.coalesce(
+        F.exists(prefixes, lambda p: F.col("type").startswith(p)),
+        F.lit(False))
+    return doc.where(matched if cfg.mimetype_filter_mode == "accept"
+                     else ~matched)
+
+
+def subcollection(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """subcollection (SubcollectionIndexingFilter.java:80-92,
+    Subcollection.java:161-190): ``subcollection`` = names of every
+    configured collection whose whitelist has a substring match on
+    the url and whose blacklist does not (blacklist wins)."""
+    url = F.col("url")
+    names = []
+    for name, white, black in cfg.subcollections:
+        hit = F.lit(False)
+        for w in white:
+            hit = hit | url.contains(w)
+        for b in black:
+            hit = hit & ~url.contains(b)
+        names.append(F.when(hit, F.lit(name)))
+    arr = (F.filter(F.array(*names), lambda x: x.isNotNull())
+           if names else F.array().cast("array<string>"))
+    return doc.withColumn("subcollection", arr)
+
+
+FILTERS = {
+    "basic": index_basic,
+    "anchor": index_anchor,
+    "more": index_more,
+    "metadata": index_metadata,
+    "static": index_static,
+    "tld": index_tld,
+    "mimetype": mimetype_filter,
+    "subcollection": subcollection,
+}
+
+
+def apply_indexing_filters(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Chain the configured plugins in order (IndexingFilters.java:40-60,
+    ``indexingfilter.order``). Unknown names raise — a silently skipped
+    plugin is how documents leak past a mimetype filter."""
+    for name in cfg.indexing_filters:
+        try:
+            fn = FILTERS[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown indexing filter {name!r}; "
+                f"known: {sorted(FILTERS)}") from None
+        doc = fn(doc, cfg)
+    return doc

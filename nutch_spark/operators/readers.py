@@ -203,10 +203,17 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
                         "score", "signature")
     # "don't index unmodified (empty) pages" — a notmodified fetch row
     # never becomes the fetchDatum (IndexerMapReduce.java:198-201)
+    cf_cols = ["url", F.col("status").alias("fetch_status"),
+               F.col("fetch_time").alias("fetched_at")]
+    # response headers ride along for the indexing-filter plugins
+    # (index-more reads Content-Type/Length/Last-Modified from the
+    # fetch datum's metadata — MoreIndexingFilter.java:186-196)
+    has_meta = "metadata" in crawl_fetch.columns
+    if has_meta:
+        cf_cols.append("metadata")
     cf = (crawl_fetch
           .where(F.col("status") != FETCH_NOTMODIFIED)
-          .select("url", F.col("status").alias("fetch_status"),
-                  F.col("fetch_time").alias("fetched_at")))
+          .select(*cf_cols))
     pt = parse_text.select("url", "text")
     pd_ = parse_data.select("url", "title")
     doc = (db.join(cf, "url")
@@ -230,6 +237,7 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
         "url",
         udfs["host"](F.col("url")).alias("host"),
         "title", "text", "anchors",
+        *(["metadata"] if has_meta else []),
         F.col("signature").alias("digest"),
         # OPIC boost = score^0.5 (OPICScoringFilter.java:168-172);
         # scoring-link boost = normalize × score

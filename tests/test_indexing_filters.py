@@ -1,0 +1,151 @@
+"""Indexing-filter plugin chain (src/plugin/index-* analogs)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from nutch_spark.config import DEFAULT
+from nutch_spark.operators.indexing_filters import (
+    apply_indexing_filters, index_anchor, index_basic, index_more,
+    index_metadata, index_static, index_tld, mimetype_filter,
+    subcollection,
+)
+
+
+def _doc(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, title string, text string, "
+              "anchors array<string>, fetched_at long, "
+              "metadata map<string,string>")
+
+
+@pytest.fixture()
+def doc(spark):
+    return _doc(spark, [
+        ("http://a.example.com/x", "T" * 150, "body " * 50, ["Home", "home", "Docs", None],
+         1_700_000_000_000,
+         {"Content-Type": "Text/HTML; charset=utf-8",
+          "Content-Length": " 1234 ",
+          "Last-Modified": "1600000000000"}),
+        ("http://b.example.co.uk/y", None, "short", None,
+         1_700_000_100_000,
+         {"Content-Type": "application/pdf",
+          "Content-Disposition": 'inline; filename="report.pdf"'}),
+        ("http://c.other.org/z", "t", "zz", [], 1_700_000_200_000, None),
+    ])
+
+
+def test_index_basic_truncation(doc):
+    cfg = DEFAULT.with_(indexer_max_title_length=100,
+                        indexer_max_content_length=10)
+    out = {r.url: r for r in index_basic(doc, cfg).collect()}
+    assert len(out["http://a.example.com/x"].title) == 100
+    assert out["http://a.example.com/x"].text == "body body "
+    assert out["http://b.example.co.uk/y"].title is None
+
+
+def test_index_anchor_dedup_keeps_first_original_case(doc):
+    cfg = DEFAULT.with_(anchor_deduplicate=True)
+    out = {r.url: r for r in index_anchor(doc, cfg).collect()}
+    # "home" dropped (lowercase dup of "Home"), None dropped, order kept
+    assert out["http://a.example.com/x"].anchors == ["Home", "Docs"]
+    assert out["http://b.example.co.uk/y"].anchors is None
+    assert out["http://c.other.org/z"].anchors == []
+
+
+def test_index_more_fields(doc):
+    out = {r.url: r for r in index_more(doc, DEFAULT).collect()}
+    a = out["http://a.example.com/x"]
+    # mime cleaned: params stripped, lowercased; parts split
+    assert a.type == "text/html"
+    assert (a.primary_type, a.sub_type) == ("text", "html")
+    assert a.content_length == 1234  # NUTCH-1010 trim
+    assert a.last_modified is not None
+    assert a.date == a.last_modified  # last-modified wins
+    b = out["http://b.example.co.uk/y"]
+    # no Last-Modified -> date falls back to fetch time
+    assert b.last_modified is None and b.date is not None
+    # Content-Disposition resets a missing title
+    assert b.title == "report.pdf"
+    c = out["http://c.other.org/z"]
+    assert c.type is None and c.content_length is None
+    assert c.title == "t"  # existing title never reset
+
+
+def test_index_more_no_parts(doc):
+    cfg = DEFAULT.with_(more_index_mime_parts=False)
+    cols = index_more(doc, cfg).columns
+    assert "primary_type" not in cols and "sub_type" not in cols
+
+
+def test_index_metadata_and_static(doc):
+    cfg = DEFAULT.with_(
+        index_parse_md=("Content-Type",),
+        index_static=(("source", "webcrawl"),
+                      ("tags", ("a", "b"))))
+    out = index_static(index_metadata(doc, cfg), cfg)
+    r = {x.url: x for x in out.collect()}
+    assert r["http://a.example.com/x"]["content-type"] \
+        == "Text/HTML; charset=utf-8"
+    assert r["http://c.other.org/z"]["content-type"] is None
+    assert r["http://a.example.com/x"].source == "webcrawl"
+    assert r["http://a.example.com/x"].tags == ["a", "b"]
+
+
+def test_index_tld(doc):
+    out = {r.url: r.tld for r in index_tld(doc, DEFAULT).collect()}
+    assert out["http://a.example.com/x"] == "com"
+    assert out["http://b.example.co.uk/y"] == "co.uk"  # multi-label
+    assert out["http://c.other.org/z"] == "org"
+
+
+def test_mimetype_filter_accept_and_reject(doc):
+    typed = index_more(doc, DEFAULT)
+    acc = DEFAULT.with_(mimetype_filter_prefixes=("text/",),
+                        mimetype_filter_mode="accept")
+    kept = [r.url for r in mimetype_filter(typed, acc).collect()]
+    # null-type doc matches nothing -> dropped in accept mode
+    assert kept == ["http://a.example.com/x"]
+    rej = acc.with_(mimetype_filter_mode="reject")
+    kept = sorted(r.url for r in mimetype_filter(typed, rej).collect())
+    assert kept == ["http://b.example.co.uk/y", "http://c.other.org/z"]
+
+
+def test_subcollection_blacklist_wins(doc):
+    cfg = DEFAULT.with_(subcollections=(
+        ("examples", ("example",), ("co.uk",)),
+        ("all", ("http://",), ()),
+    ))
+    out = {r.url: r.subcollection
+           for r in subcollection(doc, cfg).collect()}
+    assert out["http://a.example.com/x"] == ["examples", "all"]
+    assert out["http://b.example.co.uk/y"] == ["all"]  # blacklisted
+    assert out["http://c.other.org/z"] == ["all"]
+
+
+def test_apply_chain_order_and_unknown(doc):
+    cfg = DEFAULT.with_(
+        indexing_filters=("more", "mimetype", "tld"),
+        mimetype_filter_prefixes=("application/",))
+    out = apply_indexing_filters(doc, cfg)
+    rows = out.collect()
+    assert [r.url for r in rows] == ["http://b.example.co.uk/y"]
+    assert rows[0].tld == "co.uk"
+    with pytest.raises(ValueError, match="unknown indexing filter"):
+        apply_indexing_filters(doc, cfg.with_(indexing_filters=("nope",)))
+
+
+def test_chain_is_single_codegen_stage(doc):
+    """The whole non-UDF plugin chain must stay one projection — no
+    exchanges, no extra stages (scale: this runs over every indexed
+    document)."""
+    cfg = DEFAULT.with_(
+        indexing_filters=("basic", "anchor", "more", "metadata",
+                          "static", "mimetype", "subcollection"),
+        anchor_deduplicate=True,
+        index_parse_md=("Content-Type",),
+        index_static=(("source", "webcrawl"),),
+        mimetype_filter_prefixes=("text/", "application/"),
+        subcollections=(("e", ("example",), ()),))
+    plan = apply_indexing_filters(doc, cfg)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
