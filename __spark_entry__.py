@@ -474,6 +474,25 @@ def q_exact_dedup(spark, sf):
     return dedup_text.exact_dedup(d)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected-components dedup clustering (large-star/small-star)
+    + canonical-doc selection over a deterministic multi-hop edge set:
+    5-blocks starred to their base, odd blocks chained to the previous
+    block, and 50-boundaries chained back one 10-block — components
+    need 3-4 propagation hops, so the oracle's recursive CTE checks
+    real transitive closure, not one-hop grouping."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    e1 = d.where(i % 5 != 0).select(
+        i.alias("id_a"), (i - i % 5).alias("id_b"))
+    e2 = d.where(i % 10 == 5).select(i.alias("id_a"), (i - 5).alias("id_b"))
+    e3 = d.where((i % 50 == 0) & (i >= 50)).select(
+        i.alias("id_a"), (i - 10).alias("id_b"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    out = dedup_text.dedup_clusters(d, edges)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id", "keep")
+
+
 def q_ann_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
@@ -756,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1153,6 +1173,32 @@ SELECT doc_id, fingerprint,
        MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
 FROM fp
 QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) > 1""",
+
+        # transitive closure by recursive CTE: every node accumulates
+        # every label reachable through the undirected edge set; MIN =
+        # the component's smallest id (what large/small-star converges
+        # to); keep = longest text then smallest id per cluster
+        "dedup_clusters": """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id AS u, doc_id - (doc_id % 5) AS v
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, doc_id - 5 FROM documents WHERE doc_id % 10 = 5
+  UNION ALL
+  SELECT doc_id, doc_id - 10 FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id >= 50),
+und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+walk(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, walk.lbl FROM und JOIN walk ON und.v = walk.u),
+comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT c.doc_id, c.cluster_id,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY LENGTH(d.text) DESC, c.doc_id) = 1
+         AS keep
+FROM comp c JOIN documents d ON c.doc_id = d.doc_id""",
 
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv

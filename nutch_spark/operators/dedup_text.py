@@ -478,3 +478,99 @@ def ngram_jaccard_exact(docs: DataFrame, id_col: str = "doc_id",
                 / F.size(F.array_union("sh_a", "sh_b")))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a pair list — the clustering step of
+    near-duplicate deduplication (pairs from minhash_lsh /
+    simhash_neardup / ngram_jaccard become dup *clusters*; one
+    canonical document survives per cluster, see
+    :func:`dedup_clusters`).
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two shuffles (a groupBy for per-node minima and a join to
+    rewrite edges) and converges in O(log n) rounds even on
+    path-shaped components, unlike naive min-label propagation whose
+    round count is the component diameter. This is the 100 TB shape:
+    no driver-side graph, keys are node ids (uniform after the first
+    round collapses hubs), and per-round ``localCheckpoint`` truncates
+    the lineage so plan size stays constant across iterations.
+
+    Returns (id, cluster_id) with cluster_id = MIN node id of the
+    component; every node from ``edges`` (and from ``nodes``, if
+    given — isolated docs label themselves) appears exactly once.
+    """
+    u, v = F.col("u"), F.col("v")
+    e = (edges.select(F.col(id_a).cast("long").alias("u"),
+                      F.col(id_b).cast("long").alias("v"))
+         .where(u != v)
+         .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    all_nodes = e.select(u.alias("id")).unionByName(
+        e.select(v.alias("id"))).distinct()
+    if nodes is not None:
+        all_nodes = all_nodes.unionByName(
+            nodes.select(F.col(nodes.columns[0]).cast("long")
+                         .alias("id"))).distinct()
+
+    prev_count = e.count()
+    for _ in range(max_iter):
+        # large-star: each node u links every LARGER neighbor to the
+        # minimum of its neighborhood (incl. itself)
+        und = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (und.join(mins, "u")
+                 .where(v > u)
+                 .select(v.alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star: on larger->smaller edges, each node links its
+        # smaller-or-equal neighbors (and itself) to their minimum
+        dir_ = large.select(F.greatest(u, v).alias("u"),
+                            F.least(u, v).alias("v"))
+        mins2 = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        small = (dir_.join(mins2, "u")
+                 .select(v.alias("u"), F.col("m").alias("v"))
+                 .unionByName(mins2.select(u, F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .select(F.greatest(u, v).alias("u"),
+                         F.least(u, v).alias("v"))
+                 .distinct())
+        e_new = small.localCheckpoint(eager=True)
+        new_count = e_new.count()
+        converged = (new_count == prev_count
+                     and e_new.exceptAll(e).limit(1).count() == 0)
+        e, prev_count = e_new, new_count
+        if converged:
+            break
+    # converged edge set is a star forest: (non-root, root)
+    labels = e.select(u.alias("id"), v.alias("cluster_id"))
+    roots = all_nodes.join(labels, "id", "left_anti") \
+        .select("id", F.col("id").alias("cluster_id"))
+    return labels.unionByName(roots)
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup clustering + canonical-document selection: pairs (from
+    any of the near-dup operators above) -> connected components ->
+    keep the longest text per cluster (ties: smallest id) — the
+    training-data analog of DeduplicationJob.java:114-165's
+    highest-score/longest-content winner.
+
+    Returns (id, cluster_id, keep)."""
+    comp = connected_components(pairs, nodes=docs.select(id_col),
+                                id_a=id_a, id_b=id_b)
+    d = docs.select(F.col(id_col).cast("long").alias("id"),
+                    F.length(F.col(text_col)).alias("_len"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("id"))
+    return (comp.join(d, "id")
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("id", "cluster_id", "keep"))
