@@ -493,6 +493,42 @@ def q_dedup_clusters(spark, sf):
     return out.select(F.col("id").alias("doc_id"), "cluster_id", "keep")
 
 
+def q_doc_repetition(spark, sf):
+    """Gopher repetition signals: line-dup fractions over a derived
+    3-line text (line 3 repeats line 1) + top word-2-gram coverage
+    over the raw text."""
+    d = _docs(spark, sf)
+    t = F.col("text")
+    lined = F.concat_ws("\n", F.substring(t, 1, 40),
+                        F.substring(t, 21, 40), F.substring(t, 1, 40))
+    ft = textops.line_repetition_features(lined)
+    lines_df = d.select(
+        "doc_id",
+        F.round(ft["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(ft["dup_line_char_frac"], 6).alias("dup_line_char_frac"))
+    top = textops.top_ngram_char_fraction(d)
+    return lines_df.join(
+        top.select(F.col("id").alias("doc_id"), "top_ngram", "top_count",
+                   F.round("top_ngram_char_frac", 6)
+                   .alias("top_ngram_char_frac")),
+        "doc_id")
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus paragraph dedup over the same derived 3-line text:
+    in-doc dup (line 3 == line 1) always removed; cross-doc dups
+    resolve to the globally first (doc_id, pos) occurrence."""
+    d = _docs(spark, sf)
+    t = F.col("text")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.substring(t, 1, 40), F.substring(t, 21, 40),
+                    F.substring(t, 1, 40)).alias("text"))
+    out = dedup_text.paragraph_dedup(lined)
+    return out.select(F.col("id").alias("doc_id"), "text",
+                      "n_paragraphs", "n_removed")
+
+
 def q_ann_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
@@ -776,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "doc_repetition": q_doc_repetition,
+        "paragraph_dedup": q_paragraph_dedup,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1199,6 +1237,90 @@ SELECT c.doc_id, c.cluster_id,
                           ORDER BY LENGTH(d.text) DESC, c.doc_id) = 1
          AS keep
 FROM comp c JOIN documents d ON c.doc_id = d.doc_id""",
+
+        # Gopher repetition signals over the derived 3-line text
+        # (line 3 repeats line 1) + top word-2-gram coverage
+        "doc_repetition": r"""
+WITH lined AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, 40) || CHR(10) || SUBSTRING(text, 21, 40)
+           || CHR(10) || SUBSTRING(text, 1, 40) AS ltext,
+         LOWER(TRIM(text)) AS nt
+  FROM documents),
+rep AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(ltext, '\n+'),
+                     x -> LENGTH(TRIM(x)) > 0) AS l
+  FROM lined),
+repf AS (
+  SELECT doc_id,
+         ROUND((LEN(l) - LEN(LIST_DISTINCT(l)))
+               / CAST(LEN(l) AS DOUBLE), 6) AS dup_line_frac,
+         ROUND((LIST_SUM(LIST_TRANSFORM(l, x -> LENGTH(x)))
+                - LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(l),
+                                          x -> LENGTH(x))))
+               / CAST(LIST_SUM(LIST_TRANSFORM(l, x -> LENGTH(x)))
+                      AS DOUBLE), 6) AS dup_line_char_frac
+  FROM rep WHERE LEN(l) > 0),
+w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(nt, '\s+') AS words
+  FROM lined WHERE LENGTH(nt) > 0),
+wc AS (
+  SELECT doc_id, words,
+         LENGTH(ARRAY_TO_STRING(words, ' ')) AS chars
+  FROM w WHERE LEN(words) >= 2),
+g AS (
+  SELECT doc_id, chars, words[i] || ' ' || words[i + 1] AS g
+  FROM wc, UNNEST(GENERATE_SERIES(1, LEN(words) - 1)) AS t(i)),
+cnt AS (
+  SELECT doc_id, chars, g, COUNT(*) AS cnt FROM g GROUP BY ALL),
+top AS (
+  SELECT doc_id, g AS top_ngram, cnt AS top_count,
+         ROUND(cnt * LENGTH(g) / CAST(chars AS DOUBLE), 6)
+           AS top_ngram_char_frac
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY cnt DESC, LENGTH(g) DESC, g ASC) AS rn
+        FROM cnt)
+  WHERE rn = 1)
+SELECT r.doc_id, r.dup_line_frac, r.dup_line_char_frac,
+       t.top_ngram, t.top_count, t.top_ngram_char_frac
+FROM repf r JOIN top t USING (doc_id)""",
+
+        # corpus paragraph dedup: first (doc_id, pos) occurrence of
+        # each lowercased/trimmed paragraph wins; survivors rebuilt
+        # in original order
+        "paragraph_dedup": r"""
+WITH lined AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, 40) || CHR(10) || SUBSTRING(text, 21, 40)
+           || CHR(10) || SUBSTRING(text, 1, 40) AS text
+  FROM documents),
+lsplit AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(text, '\n+') AS l FROM lined),
+paras0 AS (
+  SELECT doc_id, UNNEST(l) AS para,
+         UNNEST(GENERATE_SERIES(1, LEN(l))) AS pos
+  FROM lsplit),
+paras AS (
+  SELECT doc_id, pos, para, LOWER(TRIM(para)) AS fp
+  FROM paras0 WHERE LENGTH(TRIM(para)) > 0),
+marked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1
+           AS keep
+  FROM paras),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_paragraphs,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_removed,
+         COALESCE(STRING_AGG(CASE WHEN keep THEN para END, CHR(10)
+                             ORDER BY pos), '') AS text
+  FROM marked GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text,
+       COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
+       COALESCE(a.n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv

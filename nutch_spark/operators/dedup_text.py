@@ -574,3 +574,54 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     return (comp.join(d, "id")
             .withColumn("keep", F.row_number().over(w) == 1)
             .select("id", "cluster_id", "keep"))
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    delim: str = r"\n+") -> DataFrame:
+    """Corpus-level paragraph deduplication (the CCNet/RefinedWeb
+    pass): split every document on ``delim``, fingerprint each
+    non-blank paragraph (MD5 of lowercased/trimmed text), and keep
+    only the globally FIRST occurrence of each fingerprint — first =
+    smallest (doc id, position). Surviving paragraphs reassemble in
+    original order; documents whose every paragraph was seen earlier
+    come back empty (a downstream length filter drops them).
+
+    Scale shape: the first-occurrence winner is a min-of-struct
+    aggregation on the fingerprint — map-side partial aggregation
+    absorbs hot boilerplate paragraphs (a window over fingerprint
+    would funnel each hot key through one task). The rebuild is a
+    per-document groupBy with an array sort on (position, text) —
+    bounded by document size.
+
+    Returns (id, text, n_paragraphs, n_removed) for every input doc.
+    """
+    paras = (docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim))
+         .alias("pos", "para"))
+        .where(F.length(F.trim("para")) > 0)
+        .withColumn("fp", F.md5(F.encode(
+            F.lower(F.trim(F.col("para"))), "UTF-8"))))
+    firsts = paras.groupBy("fp").agg(
+        F.min(F.struct("id", "pos")).alias("_first"))
+    marked = (paras.join(firsts, "fp")
+              .withColumn("keep",
+                          (F.col("id") == F.col("_first.id"))
+                          & (F.col("pos") == F.col("_first.pos"))))
+    agg = (marked.groupBy("id").agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("n_removed"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("keep"), F.struct("pos", "para")))),
+            lambda x: x["para"])).alias("text")))
+    base = docs.select(F.col(id_col).cast("long").alias("id"))
+    return (base.join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    F.coalesce("n_paragraphs", F.lit(0).cast("long"))
+                     .alias("n_paragraphs"),
+                    F.coalesce("n_removed", F.lit(0).cast("long"))
+                     .alias("n_removed")))

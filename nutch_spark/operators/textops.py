@@ -20,7 +20,7 @@ re-expressed as vectorizable expressions instead of per-doc Java.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # small function-word inventories per language (public knowledge)
 LANG_STOPWORDS = {
@@ -127,3 +127,75 @@ def document_features(docs: DataFrame,
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def line_repetition_features(text: Column,
+                             delim: str = r"\n+") -> dict[str, Column]:
+    """Gopher-style line-repetition signals (Rae et al. 2021, §A1.1):
+
+    - ``dup_line_frac``: fraction of (non-blank) lines that are a
+      repeat of an earlier line;
+    - ``dup_line_char_frac``: fraction of line characters contained in
+      those repeated occurrences.
+
+    Pure array expressions (split / array_distinct / aggregate) — one
+    whole-stage-codegen projection, no shuffle, no Python. Documents
+    with no non-blank lines yield nulls."""
+    lines = F.filter(F.split(text, delim),
+                     lambda x: F.length(F.trim(x)) > 0)
+    dlines = F.array_distinct(lines)
+    n, nd = F.size(lines), F.size(dlines)
+    zero = F.lit(0).cast("long")
+    chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dchars = F.aggregate(dlines, zero, lambda a, x: a + F.length(x))
+    ok = n > 0
+    return {
+        "dup_line_frac": F.when(ok, (n - nd) / n.cast("double")),
+        "dup_line_char_frac": F.when(
+            ok, (chars - dchars) / chars.cast("double")),
+    }
+
+
+def top_ngram_char_fraction(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n: int = 2) -> DataFrame:
+    """Gopher-style top-n-gram repetition (Rae et al. 2021, §A1.1):
+    the fraction of document characters covered by the single most
+    frequent word n-gram (occurrences × n-gram length / normalized
+    text length). High values flag boilerplate / keyword-stuffing
+    pages a training pipeline should drop.
+
+    Scale shape: per-row n-gram construction is a JVM ``transform``
+    over a ``sequence`` (no Python); the count happens via
+    explode + partial-aggregated groupBy on (doc, n-gram) — uniform
+    keys, ordinary shuffle — and the per-document argmax is a window
+    over doc_id (bounded by each doc's distinct n-gram count).
+    Tie-break: highest count, then longer n-gram, then lexicographic —
+    deterministic across engines.
+
+    Returns (id, top_ngram, top_count, top_ngram_char_frac)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
+        .otherwise(F.array().cast("array<string>"))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)])))
+    ex = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.length(F.concat_ws(" ", words)).alias("_chars"),
+        F.explode(grams).alias("g"))
+    counts = ex.groupBy("id", "_chars", "g").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cnt"), F.desc(F.length("g")), F.asc("g"))
+    return (counts
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("g").alias("top_ngram"),
+                    F.col("cnt").alias("top_count"),
+                    (F.col("cnt") * F.length("g")
+                     / F.col("_chars").cast("double"))
+                    .alias("top_ngram_char_frac")))
