@@ -766,15 +766,47 @@ def q_embedding_neardup(spark, sf):
 
 
 def q_image_features(spark, sf):
-    media = multimodal.make_media_fixture(spark, n=60)
-    return multimodal.image_features(media, dims=8) \
-        .select("media_id", "width", "height")
+    """REAL image decode: solid-gray BMPs derived from doc_id →
+    decode_bmp → width/height + 8-bin gray-histogram embedding; every
+    output value is a closed-form function of doc_id the oracle
+    recomputes."""
+    d = _docs(spark, sf).select("doc_id")
+    media = multimodal.make_real_media(d, "image")
+    feats = multimodal.image_features(media, dims=8,
+                                      deterministic=False)
+    bins = [F.round(F.element_at("embedding", i + 1).cast("double"), 6)
+            .alias(f"e{i}") for i in range(8)]
+    return feats.select("media_id", "width", "height", *bins)
 
 
 def q_audio_features(spark, sf):
-    media = multimodal.make_media_fixture(spark, n=60)
-    return multimodal.audio_features(media, dims=8) \
-        .select("media_id", "duration_ms", "sample_rate")
+    """REAL WAV decode: constant-amplitude PCM clips derived from
+    doc_id → stdlib wave parse → duration/rate + RMS-envelope
+    embedding (exact k/8 values)."""
+    d = _docs(spark, sf).select("doc_id")
+    media = multimodal.make_real_media(d, "audio")
+    feats = multimodal.audio_features(media, dims=8,
+                                      deterministic=False)
+    bins = [F.round(F.element_at("embedding", i + 1).cast("double"), 6)
+            .alias(f"e{i}") for i in range(8)]
+    return feats.select("media_id", "duration_ms", "sample_rate",
+                        *bins)
+
+
+def q_video_frames(spark, sf):
+    """REAL Y4M frame sampling: multi-frame solid-luma videos derived
+    from doc_id → every-2nd frame up to 3 → per-frame PGM decode →
+    mean luma (two composed Arrow stages, bytes never leave
+    workers)."""
+    d = _docs(spark, sf).select("doc_id")
+    media = multimodal.make_real_media(d, "video")
+    fr = multimodal.sample_frames(media, every_n=2, max_frames=3,
+                                  deterministic=False)
+    ff = multimodal.frame_features(fr)
+    return ff.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round(F.col("mean_luma").cast("double"), 6)
+        .alias("mean_luma"))
 
 
 # --------------------------------------------------------------------------
@@ -830,8 +862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "linkrank": q_linkrank,
-        # rows-only (non-SQL-expressible: LSH recall, media stubs);
-        # each has an exact oracle-checked sibling or a recall test
+        # real decode kernels (BMP/WAV/Y4M) over derived fixtures —
+        # oracle-checked end-to-end (encode → decode → features)
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        # rows-only (non-SQL-expressible LSH recall); each has an
+        # exact oracle-checked sibling or a recall test
         # (tests/test_approx_recall.py) pinning its quality
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
@@ -839,8 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
     }
 
 
@@ -1321,6 +1356,58 @@ SELECT d.doc_id, COALESCE(a.text, '') AS text,
        COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
        COALESCE(a.n_removed, 0) AS n_removed
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        # real BMP decode round-trip: solid gray v = doc_id % 256 puts
+        # all histogram mass in bin v * 8 // 256
+        "image_features": """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 9 AS INTEGER) AS width,
+       CAST(8 + (doc_id * 3) % 7 AS INTEGER) AS height,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 0
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e0,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 1
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e1,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 2
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e2,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 3
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e3,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 4
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e4,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 5
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e5,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 6
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e6,
+       CAST(CASE WHEN (doc_id % 256) * 8 // 256 = 7
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS e7
+FROM documents""",
+
+        # real WAV decode round-trip: constant amplitude (doc_id % 8)
+        # * 4096 / 32768 = (doc_id % 8) / 8 is every segment's RMS
+        "audio_features": """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 5 + 1) * 100 AS INTEGER) AS duration_ms,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS INTEGER) AS sample_rate,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e0,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e1,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e2,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e3,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e4,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e5,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e6,
+       CAST(doc_id % 8 AS DOUBLE) / 8 AS e7
+FROM documents""",
+
+        # real Y4M sampling: frames 0/2/4 where < frame count
+        # (2 + doc_id % 6), frame i solid luma (doc_id + 17 i) % 256
+        "video_frames": """
+WITH idx AS (
+  SELECT doc_id, 2 + doc_id % 6 AS nf, UNNEST([0, 2, 4]) AS fi
+  FROM documents)
+SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST((doc_id + 17 * fi) % 256 AS DOUBLE) AS mean_luma
+FROM idx WHERE fi < nf""",
 
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
