@@ -21,9 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.operators import (
-    ann, dedup, dedup_text, fetch as fetch_op, generate as gen_op,
-    inject as inject_op, linkdb as linkdb_op, multimodal,
-    parse as parse_op, readers, textops, updatedb as update_op,
+    ann, corpus, dedup, dedup_text, fetch as fetch_op,
+    generate as gen_op, inject as inject_op, linkdb as linkdb_op,
+    multimodal, parse as parse_op, readers, textops,
+    updatedb as update_op,
 )
 from nutch_spark.operators.merge import merge_crawldbs
 
@@ -529,6 +530,46 @@ def q_paragraph_dedup(spark, sf):
                       "n_paragraphs", "n_removed")
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction over text with synthetic email/IP/phone spans
+    appended as closed-form functions of doc_id (pure JVM regexp
+    chain; the oracle runs the identical RE2-compatible patterns)."""
+    d = _docs(spark, sf)
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    s = corpus.pii_scrub(pii_text)
+    return d.select("doc_id", s["text"].alias("text"),
+                    s["n_email"].alias("n_email"),
+                    s["n_ipv4"].alias("n_ipv4"),
+                    s["n_phone"].alias("n_phone"))
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-language downsampling — a pure filter whose
+    keep set is identical at any parallelism (reproducible sampling
+    for resumable pipelines)."""
+    d = _docs(spark, sf)
+    out = corpus.stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "fr": 0.75, "es": 0.1, "zh": 1.0})
+    return out.select("doc_id", "lang")
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs sharing ≥2 distinct word
+    8-grams with the benchmark set (every 97th doc) are flagged;
+    benchmark n-grams broadcast, corpus side never shuffles."""
+    d = _docs(spark, sf)
+    bench = d.where(F.col("doc_id") % 97 == 0).select("text")
+    out = corpus.decontaminate(d, bench, n=8, min_hits=2)
+    return out.select(F.col("id").alias("doc_id"), "n_matched",
+                      "contaminated")
+
+
 def q_ann_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
@@ -846,6 +887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_repetition": q_doc_repetition,
         "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1356,6 +1400,71 @@ SELECT d.doc_id, COALESCE(a.text, '') AS text,
        COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
        COALESCE(a.n_removed, 0) AS n_removed
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+        # same regexp chain (RE2-compatible patterns), same order:
+        # count-then-replace email, then ipv4, then phone
+        "pii_scrub": r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com at 10.0.'
+           || CAST(doc_id % 256 AS VARCHAR)
+           || '.1 or +1 (555) 010-'
+           || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(LEN(REGEXP_EXTRACT_ALL(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS BIGINT) AS n_email,
+         REGEXP_REPLACE(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM pii),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(LEN(REGEXP_EXTRACT_ALL(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+           AS n_ipv4,
+         REGEXP_REPLACE(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       REGEXP_REPLACE(t2, '\+\d[\d() -]{7,14}\d', '<PHONE>', 'g')
+         AS text,
+       n_email, n_ipv4,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t2, '\+\d[\d() -]{7,14}\d'))
+         AS BIGINT) AS n_phone
+FROM s2""",
+
+        # Knuth multiplicative sample key, plain BIGINT arithmetic
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+      CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                WHEN 'fr' THEN CAST(0.75 AS DOUBLE)
+                WHEN 'es' THEN CAST(0.1 AS DOUBLE)
+                WHEN 'zh' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END""",
+
+        # distinct word-8-gram overlap vs the every-97th-doc benchmark
+        "decontaminate": r"""
+WITH w AS (
+  SELECT doc_id,
+         STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+  FROM documents WHERE LENGTH(LOWER(TRIM(text))) > 0),
+g AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(words[i:i+7], ' ') AS ngram
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words) - 7)) AS t(i)
+  WHERE LEN(words) >= 8),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM g JOIN bench USING (ngram)
+  GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matched,
+       COALESCE(h.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)""",
 
         # real BMP decode round-trip: solid gray v = doc_id % 256 puts
         # all histogram mass in bin v * 8 // 256

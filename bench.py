@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "generate_segments", "domain_stats", "domain_stats_domain",
     "indexer_deletes", "loops_detect", "linkrank",
     "simhash_hamming", "ngram_jaccard_exact",
+    "dedup_clusters", "ann_ivf", "doc_repetition", "paragraph_dedup",
+    "image_features", "audio_features", "video_frames",
+    "pii_scrub", "stratified_sample", "decontaminate",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond the reference's crawl operators: the stages a web-text corpus
+pass runs between crawling and training. All three are deliberately
+shaped for 100 TB inputs:
+
+- :func:`pii_scrub` — pure JVM ``regexp_replace`` chain, one
+  whole-stage-codegen projection, no shuffle, no Python;
+- :func:`stratified_sample` — deterministic per-row keep/drop filter
+  (no shuffle, no sort, no sampleBy() RNG nondeterminism), so the
+  sample is reproducible across retries/speculative tasks — a
+  requirement for resumable pipelines;
+- :func:`decontaminate` — doc-side n-grams equi-joined against a
+  BROADCAST benchmark n-gram set (benchmarks are tiny next to the
+  corpus), so the 100 TB side never shuffles.
+
+Reference analog: none (Nutch stops at indexing); semantics follow the
+public corpus pipelines (CCNet, Gopher/Rae et al. 2021, Dolma).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- PII
+
+# Patterns kept to syntax shared by Java regex (Spark codegen) and RE2
+# (DuckDB oracle): character classes, bounded repeats, \b anchors.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d() -]{7,14}\d",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """Redact emails / IPv4s / international-format phone numbers and
+    count what was removed. Returns ``{"text": scrubbed, "n_email":
+    ..., "n_ipv4": ..., "n_phone": ...}`` — all JVM column
+    expressions (Dolma-style PII pass)."""
+    out = {}
+    scrubbed = text
+    # replacement order matters: emails contain dots that would
+    # otherwise half-match the ipv4 pattern's digit runs
+    for kind in ("email", "ipv4", "phone"):
+        out[f"n_{kind}"] = F.regexp_count(
+            scrubbed, F.lit(PII_PATTERNS[kind])).cast("long")
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], PII_TOKENS[kind])
+    out["text"] = scrubbed
+    return out
+
+
+# ----------------------------------------------------------- sampling
+
+# Knuth multiplicative constant — a portable deterministic mixer both
+# Spark and any SQL oracle can evaluate with plain BIGINT arithmetic.
+_MIX = 2654435761
+_MOD = 2**32
+
+
+def sample_key(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform key in [0, 1): ``(((id + salt) *
+    2654435761) mod 2^32) / 2^32`` — salt perturbs the input BEFORE
+    the multiplicative mix so it reshuffles the whole keyspace.
+    Production pipelines may swap in ``xxhash64`` (stronger mixing);
+    this closed form is reproducible in ANY engine, which is what
+    makes the sample auditable."""
+    return ((((id_col.cast("long") + F.lit(salt)) * F.lit(_MIX))
+             % F.lit(_MOD)) / F.lit(float(_MOD)))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      id_col: str = "doc_id",
+                      stratum_col: str = "lang",
+                      default_rate: float = 0.0,
+                      salt: int = 0) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    :func:`sample_key` falls below the stratum's rate. A pure filter —
+    no shuffle, no RNG state, the same rows survive on every re-run
+    and at any parallelism (unlike ``df.sampleBy`` whose output
+    depends on partitioning). The 100 TB scan prunes nothing extra:
+    one projection + filter fused into the parquet scan stage."""
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum,
+                      F.lit(float(r))).otherwise(rate)
+    return docs.where(sample_key(F.col(id_col), salt) < rate)
+
+
+# ----------------------------------------- benchmark decontamination
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Lowercased whitespace-tokenized word n-grams as an array
+    column — JVM ``transform`` over a ``sequence``, no Python."""
+    t = F.lower(F.trim(text))
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)])
+        )).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  min_hits: int = 1, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Flag training documents that share ≥ ``min_hits`` distinct word
+    ``n``-grams with any benchmark/eval text (test-set decontamination
+    à la GPT-3 §C / Dolma). Returns ``(id, n_matched, contaminated)``
+    for every input doc.
+
+    Scale shape: benchmark suites are MBs while the corpus is TBs, so
+    the distinct benchmark n-gram set is **broadcast**; the corpus
+    side explodes its n-grams and hash-joins in-map — the 100 TB side
+    is never shuffled. The per-doc count is a partial-aggregated
+    groupBy on (id), uniform keys. ``F.broadcast`` is pinned
+    explicitly so AQE cannot flip the build side."""
+    bench = (benchmark
+             .select(F.explode(word_ngrams(F.col(bench_text_col), n))
+                     .alias("ngram"))
+             .distinct())
+    # per-doc dedup happens ROW-SIDE (array_distinct before explode):
+    # a corpus-wide distinct() here would shuffle the 100 TB side
+    doc_grams = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+         .alias("ngram"))
+    hits = (doc_grams.join(F.broadcast(bench), "ngram")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_matched")))
+    base = docs.select(F.col(id_col).cast("long").alias("id"))
+    return (base.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce("n_matched", F.lit(0).cast("long"))
+                     .alias("n_matched"),
+                    (F.coalesce("n_matched", F.lit(0))
+                     >= min_hits).alias("contaminated")))
