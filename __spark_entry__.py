@@ -23,8 +23,8 @@ from nutch_spark.config import CrawlConfig
 from nutch_spark.operators import (
     ann, corpus, dedup, dedup_text, fetch as fetch_op,
     generate as gen_op, inject as inject_op, linkdb as linkdb_op,
-    multimodal, parse as parse_op, readers, textops,
-    updatedb as update_op,
+    multimodal, parse as parse_op, readers, sources as sources_op,
+    textops, updatedb as update_op,
 )
 from nutch_spark.operators.merge import merge_crawldbs
 
@@ -570,6 +570,20 @@ def q_decontaminate(spark, sf):
                       "contaminated")
 
 
+def q_warc_ingest(spark, sf):
+    """REAL WARC parsing: docs → .warc/.warc.gz blobs (closed-form
+    records) → record walk → (url, date, status, body bytes); the
+    oracle recomputes every field from doc_id arithmetic."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    pages = sources_op.warc_to_pages(sources_op.make_warc_blobs(d))
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("warc_time"),
+        "http_status",
+        F.length("html").cast("long").alias("n_bytes"))
+
+
 def q_ann_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
@@ -890,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "warc_ingest": q_warc_ingest,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1447,6 +1462,20 @@ WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
                 WHEN 'es' THEN CAST(0.1 AS DOUBLE)
                 WHEN 'zh' THEN CAST(1.0 AS DOUBLE)
                 ELSE CAST(0.0 AS DOUBLE) END""",
+
+        # real WARC record walk: every field is doc_id arithmetic;
+        # n_bytes counts UTF-8 octets (STRLEN) matching the binary
+        # body length
+        "warc_ingest": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       STRFTIME(TIMESTAMP '2024-01-01 00:00:00'
+                + (doc_id % 86400) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS warc_time,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+            AS INTEGER) AS http_status,
+       CAST(STRLEN(text) AS BIGINT) AS n_bytes
+FROM documents""",
 
         # distinct word-8-gram overlap vs the every-97th-doc benchmark
         "decontaminate": r"""
