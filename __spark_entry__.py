@@ -570,6 +570,38 @@ def q_decontaminate(spark, sf):
                       "contaminated")
 
 
+def _subdup_text() -> F.Column:
+    """Derived 11-word text: a unique head word + a 10-word tail
+    shared by each group of 5 docs — every doc_id's expected spans
+    are closed-form."""
+    grp = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+    shared = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit("g"), grp, F.lit("w"),
+                           j.cast("string"))))
+    return F.concat_ws(
+        " ", F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+        shared)
+
+
+def q_duplicate_spans(spark, sf):
+    """Exact substring-duplication detection over the derived
+    group-shared-tail text: the 10-word window at pos 1 is duplicated
+    across each 5-doc group, canonical at the group's first doc."""
+    d = _docs(spark, sf).select("doc_id", _subdup_text().alias("text"))
+    out = corpus.duplicate_spans(d, k=10)
+    return out.select(F.col("id").alias("doc_id"), "pos", "canonical")
+
+
+def q_dedup_substrings(spark, sf):
+    """Substring removal over the same fixture: non-canonical group
+    members lose the shared 10-word tail."""
+    d = _docs(spark, sf).select("doc_id", _subdup_text().alias("text"))
+    out = corpus.dedup_substrings(d, k=10)
+    return out.select(F.col("id").alias("doc_id"), "text", "n_words",
+                      "n_removed_words")
+
+
 def q_warc_ingest(spark, sf):
     """REAL WARC parsing: docs → .warc/.warc.gz blobs (closed-form
     records) → record walk → (url, date, status, body bytes); the
@@ -904,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
+        "dedup_substrings": q_dedup_substrings,
         "warc_ingest": q_warc_ingest,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
@@ -1462,6 +1496,35 @@ WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
                 WHEN 'es' THEN CAST(0.1 AS DOUBLE)
                 WHEN 'zh' THEN CAST(1.0 AS DOUBLE)
                 ELSE CAST(0.0 AS DOUBLE) END""",
+
+        # group-shared-tail fixture: the 10-word window at pos 1 is
+        # duplicated across each 5-doc group (singleton groups yield
+        # nothing)
+        "duplicate_spans": """
+WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+c AS (SELECT grp, COUNT(*) AS n, MIN(doc_id) AS first
+      FROM g GROUP BY grp)
+SELECT doc_id, CAST(1 AS INTEGER) AS pos,
+       doc_id = first AS canonical
+FROM g JOIN c USING (grp) WHERE n > 1""",
+
+        "dedup_substrings": """
+WITH g AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+c AS (SELECT grp, COUNT(*) AS n, MIN(doc_id) AS first
+      FROM g GROUP BY grp)
+SELECT doc_id,
+       CASE WHEN n > 1 AND doc_id <> first
+            THEN 'u' || CAST(doc_id AS VARCHAR)
+            ELSE 'u' || CAST(doc_id AS VARCHAR) || ' '
+                 || ARRAY_TO_STRING(LIST_TRANSFORM(
+                        GENERATE_SERIES(0, 9),
+                        j -> 'g' || CAST(grp AS VARCHAR) || 'w'
+                             || CAST(j AS VARCHAR)), ' ')
+       END AS text,
+       CAST(11 AS BIGINT) AS n_words,
+       CAST(CASE WHEN n > 1 AND doc_id <> first THEN 10 ELSE 0 END
+            AS BIGINT) AS n_removed_words
+FROM g JOIN c USING (grp)""",
 
         # real WARC record walk: every field is doc_id arithmetic;
         # n_bytes counts UTF-8 octets (STRLEN) matching the binary

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "ann_ivf", "doc_repetition", "paragraph_dedup",
     "image_features", "audio_features", "video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
-    "warc_ingest",
+    "warc_ingest", "duplicate_spans", "dedup_substrings",
 ]
 
 

@@ -142,3 +142,84 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                      .alias("n_matched"),
                     (F.coalesce("n_matched", F.lit(0))
                      >= min_hits).alias("contaminated")))
+
+
+# -------------------------------------- exact substring (span) dedup
+
+
+def duplicate_spans(docs: DataFrame, k: int = 10,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact substring-duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data…", window formulation): every k-word
+    window whose content occurs at MORE THAN ONE (doc, pos) location
+    corpus-wide is reported, with the globally-first location marked
+    canonical.
+
+    Returns (id, pos, canonical) — pos is the 0-based word offset.
+
+    Scale shape: windows shuffle by a 64-bit hash of the gram (slim
+    keys, not the text); the >1-occurrence set comes from a
+    partial-aggregated groupBy. This trades the sequential suffix
+    array of the paper for a shuffle the cluster can actually do at
+    100 TB; window length k bounds memory per row."""
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(word_ngrams(F.col(text_col), k))
+         .alias("pos", "gram"))
+    hashed = grams.select("id", "pos",
+                          F.xxhash64("gram").alias("h"))
+    agg = (hashed.groupBy("h")
+           .agg(F.count("*").alias("n"),
+                F.min(F.struct("id", "pos")).alias("first"))
+           .where(F.col("n") > 1))
+    return (hashed.join(agg, "h")
+            .select("id", "pos",
+                    ((F.col("id") == F.col("first.id"))
+                     & (F.col("pos") == F.col("first.pos")))
+                    .alias("canonical")))
+
+
+def dedup_substrings(docs: DataFrame, k: int = 10,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Remove duplicated substrings: every word covered by a
+    non-canonical duplicated k-window is dropped; the canonical (first)
+    occurrence survives, as do all unique spans. Returns
+    (id, text, n_words, n_removed_words).
+
+    The covered-word set is built by exploding each losing window into
+    its k word offsets and per-doc distinct-ing — all joins are on
+    (id, offset), uniform keys; text rebuild is a bounded per-doc
+    aggregation exactly like :func:`paragraph_dedup`'s."""
+    words = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(
+            F.when(F.length(F.trim(text_col)) > 0,
+                   F.split(F.lower(F.trim(text_col)), r"\s+"))
+            .otherwise(F.array().cast("array<string>")))
+        .alias("widx", "word"))
+    losers = duplicate_spans(docs, k, id_col, text_col) \
+        .where(~F.col("canonical"))
+    covered = (losers.select(
+        "id", F.explode(F.sequence(F.col("pos"),
+                                   F.col("pos") + (k - 1)))
+        .alias("widx")).distinct())
+    kept = words.join(covered, ["id", "widx"], "left_anti")
+    agg = (kept.groupBy("id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "word"))),
+            lambda x: x["word"])).alias("text"),
+        F.count("*").alias("n_kept")))
+    totals = words.groupBy("id").agg(F.count("*").alias("n_words"))
+    base = docs.select(F.col(id_col).cast("long").alias("id"))
+    return (base
+            .join(totals, "id", "left").join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce("text", F.lit("")).alias("text"),
+                F.coalesce("n_words", F.lit(0).cast("long"))
+                 .alias("n_words"),
+                (F.coalesce("n_words", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).cast("long")
+                 .alias("n_removed_words")))

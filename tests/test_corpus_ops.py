@@ -82,3 +82,42 @@ def test_decontaminate_broadcasts_bench_side(spark):
     plan = corpus.decontaminate(docs, bench, n=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_and_substring_dedup(spark):
+    # doc 0 and doc 1 share the 5-word run "v w x y z"; doc 0 also
+    # repeats it internally
+    docs = spark.createDataFrame(
+        [(0, "a b c v w x y z m n v w x y z"),
+         (1, "p q v w x y z r s t"),
+         (2, "all unique words here nothing shared at all")],
+        "doc_id long, text string")
+    spans = corpus.duplicate_spans(docs, k=5).collect()
+    got = {(r.id, r.pos): r.canonical for r in spans}
+    # duplicated 5-gram occurrences: doc0@3, doc0@10, doc1@2
+    assert set(got) == {(0, 3), (0, 10), (1, 2)}
+    assert got[(0, 3)] and not got[(0, 10)] and not got[(1, 2)]
+
+    out = {r.id: r for r in corpus.dedup_substrings(docs, k=5).collect()}
+    # doc 0 keeps its first occurrence, loses words 10..14
+    assert out[0].text == "a b c v w x y z m n"
+    assert out[0].n_removed_words == 5 and out[0].n_words == 15
+    # doc 1 loses words 2..6
+    assert out[1].text == "p q r s t"
+    assert out[1].n_removed_words == 5
+    # doc 2 untouched (lowercased join of its own words)
+    assert out[2].text == "all unique words here nothing shared at all"
+    assert out[2].n_removed_words == 0
+
+
+def test_dedup_substrings_overlapping_windows(spark):
+    # an 8-word duplicated run yields overlapping duplicated 5-windows;
+    # covered-word union must remove the whole run once, not k per win
+    run = "h1 h2 h3 h4 h5 h6 h7 h8"
+    docs = spark.createDataFrame(
+        [(0, run + " tail0 tail1"), (1, "lead0 " + run)],
+        "doc_id long, text string")
+    out = {r.id: r for r in corpus.dedup_substrings(docs, k=5).collect()}
+    assert out[0].text == run + " tail0 tail1"  # canonical survives
+    assert out[1].text == "lead0"
+    assert out[1].n_removed_words == 8
