@@ -162,7 +162,11 @@ def duplicate_spans(docs: DataFrame, k: int = 10,
     keys, not the text); the >1-occurrence set comes from a
     partial-aggregated groupBy. This trades the sequential suffix
     array of the paper for a shuffle the cluster can actually do at
-    100 TB; window length k bounds memory per row."""
+    100 TB; window length k bounds memory per row. Hashing admits
+    ~W²/2⁶⁵ expected false-duplicate windows (W total windows: at
+    W = 10¹² that is ~3·10⁴ windows, ~3·10⁻⁸ of the corpus) —
+    negligible for cleaning; group on the gram text instead of ``h``
+    to make it exact at the cost of a fat shuffle key."""
     grams = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode(word_ngrams(F.col(text_col), k))
