@@ -502,8 +502,12 @@ def q_doc_repetition(spark, sf):
     t = F.col("text")
     lined = F.concat_ws("\n", F.substring(t, 1, 40),
                         F.substring(t, 21, 40), F.substring(t, 1, 40))
-    ft = textops.line_repetition_features(lined)
-    lines_df = d.select(
+    # project the line arrays once — inlined they re-split per use
+    staged = (d.select("doc_id", textops.lines_col(lined).alias("_l"))
+              .select("doc_id", "_l",
+                      F.array_distinct("_l").alias("_dl")))
+    ft = textops.line_repetition_from(F.col("_l"), F.col("_dl"))
+    lines_df = staged.select(
         "doc_id",
         F.round(ft["dup_line_frac"], 6).alias("dup_line_frac"),
         F.round(ft["dup_line_char_frac"], 6).alias("dup_line_char_frac"))

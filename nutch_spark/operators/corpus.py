@@ -92,12 +92,22 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
 # ----------------------------------------- benchmark decontamination
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Lowercased whitespace-tokenized word n-grams as an array
-    column — JVM ``transform`` over a ``sequence``, no Python."""
+def words_col(text: Column) -> Column:
+    """Lowercased whitespace tokens. Project this into its OWN column
+    before building n-grams over it: the n-gram lambda references the
+    words array once per element, and an inlined split() would be
+    re-evaluated per reference (10 copies in the optimized plan for
+    n=8 — measured), while a materialized projection computes it once
+    per row. CollapseProject keeps the barrier because the alias is
+    non-cheap and multiply-referenced."""
     t = F.lower(F.trim(text))
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_of(words: Column, n: int) -> Column:
+    """Word n-grams over an already-projected words array — JVM
+    ``transform`` over a ``sequence``, no Python."""
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -105,6 +115,13 @@ def word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(
                 " ", *[F.element_at(words, i + j) for j in range(n)])
         )).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """One-expression convenience form — fine for small inputs; hot
+    paths should project :func:`words_col` first (see its docstring)
+    and call :func:`ngrams_of`."""
+    return ngrams_of(words_col(text), n)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
@@ -123,15 +140,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     groupBy on (id), uniform keys. ``F.broadcast`` is pinned
     explicitly so AQE cannot flip the build side."""
     bench = (benchmark
-             .select(F.explode(word_ngrams(F.col(bench_text_col), n))
+             .select(words_col(F.col(bench_text_col)).alias("_w"))
+             .select(F.explode(ngrams_of(F.col("_w"), n))
                      .alias("ngram"))
              .distinct())
     # per-doc dedup happens ROW-SIDE (array_distinct before explode):
     # a corpus-wide distinct() here would shuffle the 100 TB side
-    doc_grams = docs.select(
+    doc_grams = (docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
-         .alias("ngram"))
+        words_col(F.col(text_col)).alias("_w"))
+        .select("id",
+                F.explode(F.array_distinct(ngrams_of(F.col("_w"), n)))
+                .alias("ngram")))
     hits = (doc_grams.join(F.broadcast(bench), "ngram")
             .groupBy("id")
             .agg(F.count("*").alias("n_matched")))
@@ -167,10 +187,11 @@ def duplicate_spans(docs: DataFrame, k: int = 10,
     W = 10¹² that is ~3·10⁴ windows, ~3·10⁻⁸ of the corpus) —
     negligible for cleaning; group on the gram text instead of ``h``
     to make it exact at the cost of a fat shuffle key."""
-    grams = docs.select(
+    grams = (docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(word_ngrams(F.col(text_col), k))
-         .alias("pos", "gram"))
+        words_col(F.col(text_col)).alias("_w"))
+        .select("id", F.posexplode(ngrams_of(F.col("_w"), k))
+                .alias("pos", "gram")))
     hashed = grams.select("id", "pos",
                           F.xxhash64("gram").alias("h"))
     agg = (hashed.groupBy("h")

@@ -129,21 +129,32 @@ def document_features(docs: DataFrame,
     )
 
 
-def line_repetition_features(text: Column,
-                             delim: str = r"\n+") -> dict[str, Column]:
-    """Gopher-style line-repetition signals (Rae et al. 2021, §A1.1):
+def lines_col(text: Column, delim: str = r"\n+") -> Column:
+    """Non-blank lines of ``text``. Hot paths should project this
+    once and pass the attribute to :func:`line_repetition_from` —
+    inlined, the split+filter is re-evaluated per reference (see
+    corpus.words_col)."""
+    return F.filter(F.split(text, delim),
+                    lambda x: F.length(F.trim(x)) > 0)
+
+
+def line_repetition_from(lines: Column,
+                         dlines: Column | None = None
+                         ) -> dict[str, Column]:
+    """Gopher-style line-repetition signals (Rae et al. 2021, §A1.1)
+    over an already-projected lines array (optionally also a
+    projected ``array_distinct`` of it):
 
     - ``dup_line_frac``: fraction of (non-blank) lines that are a
       repeat of an earlier line;
     - ``dup_line_char_frac``: fraction of line characters contained in
       those repeated occurrences.
 
-    Pure array expressions (split / array_distinct / aggregate) — one
-    whole-stage-codegen projection, no shuffle, no Python. Documents
-    with no non-blank lines yield nulls."""
-    lines = F.filter(F.split(text, delim),
-                     lambda x: F.length(F.trim(x)) > 0)
-    dlines = F.array_distinct(lines)
+    Pure array expressions — one whole-stage-codegen projection, no
+    shuffle, no Python. Documents with no non-blank lines yield
+    nulls."""
+    if dlines is None:
+        dlines = F.array_distinct(lines)
     n, nd = F.size(lines), F.size(dlines)
     zero = F.lit(0).cast("long")
     chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
@@ -154,6 +165,14 @@ def line_repetition_features(text: Column,
         "dup_line_char_frac": F.when(
             ok, (chars - dchars) / chars.cast("double")),
     }
+
+
+def line_repetition_features(text: Column,
+                             delim: str = r"\n+") -> dict[str, Column]:
+    """One-expression convenience form of
+    :func:`line_repetition_from`; hot paths should project
+    :func:`lines_col` first."""
+    return line_repetition_from(lines_col(text, delim))
 
 
 def top_ngram_char_fraction(docs: DataFrame, id_col: str = "doc_id",
@@ -175,18 +194,25 @@ def top_ngram_char_fraction(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id, top_ngram, top_count, top_ngram_char_frac)."""
     t = F.lower(F.trim(F.col(text_col)))
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
+    raw_words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
         .otherwise(F.array().cast("array<string>"))
+    # project the split ONCE; the gram lambda references the words
+    # array per element and an inlined split would be re-evaluated
+    # per reference (see corpus.words_col)
+    words = F.col("_w")
     grams = F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(words, i + j) for j in range(n)])))
-    ex = docs.select(
+    ex = (docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.length(F.concat_ws(" ", words)).alias("_chars"),
-        F.explode(grams).alias("g"))
+        raw_words.alias("_w"))
+        .select(
+            "id",
+            F.length(F.concat_ws(" ", words)).alias("_chars"),
+            F.explode(grams).alias("g")))
     counts = ex.groupBy("id", "_chars", "g").agg(
         F.count("*").alias("cnt"))
     w = Window.partitionBy("id").orderBy(
