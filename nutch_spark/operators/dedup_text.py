@@ -84,23 +84,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
             .drop("_n"))
 
 
+def minhash_from(hashes: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` minhash values via the standard
+    (a·h + b) mod p permutation family over an already-PROJECTED
+    shingle-hash array column.
+
+    The outer ``transform`` re-evaluates its lambda body once per
+    permutation, so if ``hashes`` is an inlined expression it is
+    recomputed ``num_hashes`` times per row. Worse, CollapseProject
+    re-inlines a single-referenced alias (it assumes one textual
+    reference = one evaluation — untrue inside HOF lambdas), so the
+    ``F.size`` guard below deliberately references ``hashes`` a
+    second time OUTSIDE the lambda: two references to a non-cheap
+    alias keep the projection barrier, and the lambda then reads a
+    per-row attribute. (Guard is semantically free —
+    :func:`shingle_hashes` always yields ≥1 element.)"""
+    p = F.lit(_PRIME)
+    return F.when(
+        F.size(hashes) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(
+                hashes,
+                lambda h: F.pmod(
+                    F.pmod(h, p) * (i * 2 + 1) + i * 0x9E3779B9, p)))))
+
+
 def minhash_signature(text: Column, num_hashes: int = 64,
                       k: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values via the standard
-    (a·h + b) mod p permutation family over xxhash64 shingle hashes.
-
-    Built as ONE nested expression — ``transform`` over the
-    permutation index with an inner ``array_min`` — so the codegen
-    tree stays O(1) in num_hashes and the shingle hashing runs once
-    per row (not once per permutation)."""
-    hashes = shingle_hashes(text, k)
-    p = F.lit(_PRIME)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(
-            hashes,
-            lambda h: F.pmod(
-                F.pmod(h, p) * (i * 2 + 1) + i * 0x9E3779B9, p))))
+    """One-expression convenience form — fine for tests/small inputs;
+    hot paths must project :func:`shingle_hashes` first and call
+    :func:`minhash_from` (see its docstring)."""
+    return minhash_from(shingle_hashes(text, k), num_hashes)
 
 
 def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
@@ -126,10 +141,15 @@ def minhash_lsh(docs: DataFrame, id_col: str = "doc_id",
         # arrive as a single partition)
         docs = docs.repartition(n_partitions)
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    with_sig = docs.select(F.col(id_col).alias("id"),
-                           F.col(text_col).alias("text"),
-                           sig.alias("sig"))
+    # stage shingle hashes as a real column BEFORE the permutation
+    # transform — inlined, they would recompute once per permutation
+    with_sig = (docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("text"),
+                            shingle_hashes(F.col(text_col), k)
+                            .alias("_sh"))
+                .select("id", "text",
+                        minhash_from(F.col("_sh"), num_hashes)
+                        .alias("sig")))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
