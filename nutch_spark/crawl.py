@@ -103,16 +103,20 @@ class CrawlRun:
         return self.spark.read.parquet(tmp)
 
     def _install(self, name: str, rnd: int | None = None) -> DataFrame:
-        """Commit half: stamp the ``_snapshot.json`` commit record and
-        install with the reference's current/old rename dance
-        (CrawlDb.install). A crash before this point leaves only the
-        ``.tmp`` dir, which resume ignores."""
+        """Commit half: stamp the ``_snapshot.json`` commit record
+        (with per-partition lineage) and install with the reference's
+        current/old rename dance (CrawlDb.install). A crash before
+        this point leaves only the ``.tmp`` dir, which resume
+        ignores."""
         path = self._path(name, rnd)
         tmp = path + ".tmp"
         old = path + ".old"
+        from .storage import partition_lineage
+        lineage = partition_lineage(tmp)
         with open(os.path.join(tmp, "_snapshot.json"), "w") as f:
             json.dump({"name": name, "round": rnd, "ts": time.time(),
-                       "rows": None}, f)
+                       "rows": sum(p["rows"] or 0 for p in lineage),
+                       "partitions": lineage}, f)
         # install: current -> old, tmp -> current, drop old
         # (CrawlDb.install; dir renames are atomic on POSIX)
         if os.path.isdir(old):

@@ -164,3 +164,24 @@ def test_crawlrun_bucketed_resume_and_time_travel(spark, tmp_path,
     expired = run.db_table.expire_snapshots(keep_last=2)
     assert expired == [0]
     assert run.db_table.read(1).count() == db1.count()
+
+
+def test_snapshot_lineage_in_commit_records(spark, tmp_path):
+    from nutch_spark.storage import SnapshotTable, partition_lineage
+    import json, os
+    t = SnapshotTable(spark, str(tmp_path), "lin", n_buckets=4)
+    df = spark.range(1000).selectExpr("concat('u', id) AS url",
+                                      "id AS v")
+    t.commit(df, 0)
+    meta = json.load(open(os.path.join(str(tmp_path), "lin",
+                                       "_table.json")))
+    snap = meta["snapshots"]["0"]
+    assert snap["rows"] == 1000
+    parts = snap["partitions"]
+    assert len(parts) >= 4  # one file per bucket at least
+    assert sum(p["rows"] for p in parts) == 1000
+    assert all(p["bytes"] > 0 and p["file"].endswith(".parquet")
+               for p in parts)
+    # standalone helper agrees with the committed record
+    again = partition_lineage(snap["path"])
+    assert sum(p["rows"] for p in again) == 1000
