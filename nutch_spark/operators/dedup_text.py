@@ -35,15 +35,26 @@ def _norm_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string>."""
-    words = F.split(_norm_text(text), " ")
+def shingles_of(words: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles over an already-PROJECTED token array
+    (pass an attribute: the slice lambda references ``words`` once per
+    shingle index, so an inlined split() would re-tokenize per index —
+    the HOF-lambda trap, see :func:`minhash_from`). Multiple outer
+    references to ``words`` keep the projection barrier against
+    CollapseProject."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
     return F.when(n >= k, F.array_distinct(sh)) \
-        .otherwise(F.array(_norm_text(text)))
+        .otherwise(F.array(F.array_join(words, " ")))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string> — one-expression
+    convenience form; hot paths should project the split first and
+    call :func:`shingles_of`."""
+    return shingles_of(F.split(_norm_text(text), " "), k)
 
 
 def shingle_hashes(text: Column, k: int = 3) -> Column:
@@ -469,8 +480,10 @@ def ngram_jaccard_exact(docs: DataFrame, id_col: str = "doc_id",
     intersection/union verify then removes false candidates.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), n).alias("sh"))
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.split(_norm_text(F.col(text_col)), " ")
+                      .alias("_w"))
+          .select("id", shingles_of(F.col("_w"), n).alias("sh")))
     ex = sh.select("id", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("id")
