@@ -257,6 +257,13 @@ def linkrank(edges: DataFrame, iterations: int = 10,
                            (F.col("score") / F.col("deg")).alias("c"),
                            *([F.col("_page")] if limit_pages else []),
                            *([F.col("_dom")] if limit_domains else [])))
+        # one exchange instead of three: every grouping set below
+        # contains url, so HashPartitioning(url) satisfies all their
+        # ClusteredDistribution requirements — the page-dedup,
+        # domain-dedup and sum aggregations then run exchange-free
+        # on the same partitioning
+        if limit_pages or limit_domains:
+            contrib = contrib.repartition("url")
         if limit_pages:
             contrib = contrib.groupBy("url", "_page").agg(
                 F.max("c").alias("c"),
