@@ -281,6 +281,12 @@ class CrawlRun:
         t0 = time.time()
         messages = crawl_fetch.drop("queue_id", "virtual_time") \
             .unionByName(crawl_parse)
+        # the message stream feeds several plan branches (bloom split,
+        # frontier merge, db-less fresh merge) — without a persist each
+        # branch re-derives it from the parse/fetch frames, and the
+        # duplicated subtrees multiply the round's compute
+        from pyspark import StorageLevel
+        messages = messages.persist(StorageLevel.MEMORY_AND_DISK)
         bloom = self._load_bloom(rnd - 1)
         can_split = (bloom is not None and not cfg.db_update_normalize
                      and not cfg.db_update_filter)
@@ -298,6 +304,11 @@ class CrawlRun:
             new_db = merged.unionByName(fresh)
         else:
             new_db = update_op.updatedb(db, messages, cfg, now_ms)
+        # dedup references its input TWICE (crawldb ⋈ marked losers),
+        # which would duplicate — and re-execute — the entire merge
+        # subtree inside one plan; materialize the merge once
+        new_db = new_db.persist(StorageLevel.MEMORY_AND_DISK)
+        merge_cached = new_db
         new_db = dedup_op.dedup(new_db)
         # plan introspection for tests/bench: the pre-write frames whose
         # physical plans carry the round's shuffle structure
@@ -348,7 +359,8 @@ class CrawlRun:
         # release the within-round reuse caches (fetch schedule, parse
         # output): every consumer has materialized by now, and persisted
         # blocks would otherwise accumulate across rounds in one session
-        for cached in (fr.get("schedule"), pr.get("parsed")):
+        for cached in (fr.get("schedule"), pr.get("parsed"), messages,
+                       merge_cached):
             if cached is not None:
                 cached.unpersist()
 
