@@ -21,6 +21,7 @@ import json
 import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import CrawlConfig
@@ -285,7 +286,6 @@ class CrawlRun:
         # frontier merge, db-less fresh merge) — without a persist each
         # branch re-derives it from the parse/fetch frames, and the
         # duplicated subtrees multiply the round's compute
-        from pyspark import StorageLevel
         messages = messages.persist(StorageLevel.MEMORY_AND_DISK)
         bloom = self._load_bloom(rnd - 1)
         can_split = (bloom is not None and not cfg.db_update_normalize
