@@ -5,9 +5,10 @@ the driver's parquet tables. Crawl operators run on a **derived
 crawldb** built from ``documents`` with SQL-expressible column
 derivations (urls `http://host{doc_id%40}.test/p{doc_id}`), so the
 DuckDB oracle can reproduce the exact same input and the comparison
-checks the *operator semantics*, not the fixture. Non-SQL-expressible
-operators (virtual-time politeness, MinHash LSH, SimHash) have no
-oracle entry → rows-only checks.
+checks the *operator semantics*, not the fixture. The only rows-only
+entries are the approximate-LSH operators (minhash/simhash/ngram/
+ann/embedding blocking); each has an exact oracle-checked sibling
+plus a pinned recall floor in tests/test_approx_recall.py.
 
 Column names are aligned between Spark and SQL on every computed
 column; floats are rounded identically on both sides.
