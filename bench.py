@@ -227,6 +227,8 @@ def main() -> None:
     cyc_sec = min(cyc_sec, cyc2)
     timings["crawl_cycle"] = round(cyc_sec, 3)
     cr_sec, cr_urls = crawlrun_cycle(spark, SF_DIR)
+    cr2, _ = crawlrun_cycle(spark, SF_DIR)
+    cr_sec = min(cr_sec, cr2)
     timings["crawlrun_cycle"] = round(cr_sec, 3)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
