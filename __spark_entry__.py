@@ -412,13 +412,19 @@ def q_indexer_filters(spark, sf):
                         ("coms", (".com/",), ())))
     doc = readers.indexer_docs(db, linkdb, pt, pd_, cf, cfg)
     out = apply_indexing_filters(doc, cfg)
+    # Array columns are pipe-joined: the driver's comparison harness
+    # canonicalizes via pandas sort, which cannot hash Python lists.
     return out.select(
-        "url", "host", "tld", "title", "anchors", "text", "type",
+        "url", "host", "tld", "title",
+        F.array_join("anchors", "|").alias("anchors"),
+        "text", "type",
         "primary_type", "sub_type", "content_length",
         F.unix_millis("last_modified").alias("last_modified_ms"),
         F.unix_millis("date").alias("date_ms"),
         F.col("content-type").alias("raw_content_type"),
-        "source", "tags", "subcollection",
+        "source",
+        F.array_join("tags", "|").alias("tags"),
+        F.array_join("subcollection", "|").alias("subcollection"),
         F.round("boost", 6).alias("boost"))
 
 
@@ -962,9 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkrank": q_linkrank,
         # real decode kernels (BMP/WAV/Y4M) over derived fixtures —
         # oracle-checked end-to-end (encode → decode → features)
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
+        "media_image_decode": q_image_features,
+        "media_audio_decode": q_audio_features,
+        "media_video_frames": q_video_frames,
         # rows-only (non-SQL-expressible LSH recall); each has an
         # exact oracle-checked sibling or a recall test
         # (tests/test_approx_recall.py) pinning its quality
@@ -1247,7 +1253,8 @@ b2 AS (
       || '/p' || CAST(doc_id AS VARCHAR) AS url
   FROM base)
 SELECT url, host, tld, title,
-  ['A' || CAST(doc_id % 3 AS VARCHAR), 'B'] AS anchors,
+  array_to_string(['A' || CAST(doc_id % 3 AS VARCHAR), 'B'], '|')
+    AS anchors,
   SUBSTR(text, 1, 40) AS text,
   type,
   split_part(type, '/', 1) AS primary_type,
@@ -1257,12 +1264,12 @@ SELECT url, host, tld, title,
   COALESCE(lm, 3000000) AS date_ms,
   raw_content_type,
   'webcrawl' AS source,
-  ['t1', 't2'] AS tags,
-  list_filter([
+  't1|t2' AS tags,
+  COALESCE(array_to_string(list_filter([
     CASE WHEN url LIKE '%/p1%' AND url NOT LIKE '%host1.%'
          THEN 'p1s' END,
     CASE WHEN url LIKE '%.com/%' THEN 'coms' END],
-    x -> x IS NOT NULL) AS subcollection,
+    x -> x IS NOT NULL), '|'), '') AS subcollection,
   ROUND(SQRT(score), 6) AS boost
 FROM b2 WHERE type IS NOT NULL""",
 
@@ -1565,7 +1572,7 @@ FROM documents d LEFT JOIN hits h USING (doc_id)""",
 
         # real BMP decode round-trip: solid gray v = doc_id % 256 puts
         # all histogram mass in bin v * 8 // 256
-        "image_features": """
+        "media_image_decode": """
 SELECT doc_id AS media_id,
        CAST(8 + doc_id % 9 AS INTEGER) AS width,
        CAST(8 + (doc_id * 3) % 7 AS INTEGER) AS height,
@@ -1589,7 +1596,7 @@ FROM documents""",
 
         # real WAV decode round-trip: constant amplitude (doc_id % 8)
         # * 4096 / 32768 = (doc_id % 8) / 8 is every segment's RMS
-        "audio_features": """
+        "media_audio_decode": """
 SELECT doc_id AS media_id,
        CAST((doc_id % 5 + 1) * 100 AS INTEGER) AS duration_ms,
        CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
@@ -1606,7 +1613,7 @@ FROM documents""",
 
         # real Y4M sampling: frames 0/2/4 where < frame count
         # (2 + doc_id % 6), frame i solid luma (doc_id + 17 i) % 256
-        "video_frames": """
+        "media_video_frames": """
 WITH idx AS (
   SELECT doc_id, 2 + doc_id % 6 AS nf, UNNEST([0, 2, 4]) AS fi
   FROM documents)

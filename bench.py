@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "indexer_deletes", "loops_detect", "linkrank",
     "simhash_hamming", "ngram_jaccard_exact",
     "dedup_clusters", "ann_ivf", "doc_repetition", "paragraph_dedup",
-    "image_features", "audio_features", "video_frames",
+    "media_image_decode", "media_audio_decode", "media_video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
     "warc_ingest", "duplicate_spans", "dedup_substrings",
 ]
