@@ -1498,10 +1498,13 @@ SELECT doc_id,
          AS BIGINT) AS n_phone
 FROM s2""",
 
-        # Knuth multiplicative sample key, plain BIGINT arithmetic
+        # Knuth multiplicative sample key, plain BIGINT arithmetic;
+        # input reduced mod 2^31 first so the product never overflows
+        # int64 (mirrors corpus.sample_key's overflow-safe form)
         "stratified_sample": """
 SELECT doc_id, lang FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+WHERE ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+        * 2654435761) % 4294967296) / 4294967296.0 <
       CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
                 WHEN 'de' THEN CAST(0.25 AS DOUBLE)
                 WHEN 'fr' THEN CAST(0.75 AS DOUBLE)

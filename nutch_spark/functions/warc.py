@@ -42,7 +42,7 @@ def encode_warc_record(url: str, date: str, payload: bytes,
     headers = (
         b"WARC/1.0" + CRLF
         + b"WARC-Type: " + warc_type.encode("ascii") + CRLF
-        + b"WARC-Target-URI: " + url.encode("ascii") + CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + CRLF
         + b"WARC-Date: " + date.encode("ascii") + CRLF
         + b"Content-Type: application/http; msgtype=response" + CRLF
         + b"Content-Length: " + str(len(http)).encode("ascii") + CRLF

@@ -58,17 +58,26 @@ def pii_scrub(text: Column) -> dict[str, Column]:
 # Spark and any SQL oracle can evaluate with plain BIGINT arithmetic.
 _MIX = 2654435761
 _MOD = 2**32
+_IN_MOD = 2**31
 
 
 def sample_key(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic uniform key in [0, 1): ``(((id + salt) *
-    2654435761) mod 2^32) / 2^32`` — salt perturbs the input BEFORE
-    the multiplicative mix so it reshuffles the whole keyspace.
+    """Deterministic uniform key in [0, 1): ``((((id + salt) pmod
+    2^31) * 2654435761) pmod 2^32) / 2^32`` — salt perturbs the input
+    BEFORE the multiplicative mix so it reshuffles the whole keyspace.
+
+    Overflow-safe by construction: the input is first reduced to
+    [0, 2^31) with ``pmod`` (negative ids land in range too), so the
+    product is < 2^31 * 2654435761 ≈ 5.7e18 < int64 max — no wrap in
+    Spark, and no overflow ERROR in engines like DuckDB that refuse
+    to wrap BIGINT. The outer ``pmod`` keeps the key non-negative, so
+    ``key < rate`` can never admit a row into a rate-0 stratum.
     Production pipelines may swap in ``xxhash64`` (stronger mixing);
     this closed form is reproducible in ANY engine, which is what
     makes the sample auditable."""
-    return ((((id_col.cast("long") + F.lit(salt)) * F.lit(_MIX))
-             % F.lit(_MOD)) / F.lit(float(_MOD)))
+    mixed = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_IN_MOD)) \
+        * F.lit(_MIX)
+    return F.pmod(mixed, F.lit(_MOD)) / F.lit(float(_MOD))
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],

@@ -535,22 +535,66 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     Returns (id, cluster_id) with cluster_id = MIN node id of the
     component; every node from ``edges`` (and from ``nodes``, if
     given — isolated docs label themselves) appears exactly once.
+
+    Ids may be any orderable type. Integral ids are used directly;
+    anything else (URLs — the reference DeduplicationJob's keys) is
+    keyed internally on ``xxhash64(id)`` with a join back to the
+    original values at the end, so the star-forest arithmetic stays
+    on uniform longs. With hashed keys ``cluster_id`` is the member
+    whose hash is minimal — still one deterministic canonical id per
+    component. (64-bit collision odds at 10^10 nodes are ~0.3%
+    birthday-bound for ANY colliding pair corpus-wide; a collision
+    merges two clusters, the standard accepted tradeoff for hashed
+    CC at scale.)
+
+    Raises ``RuntimeError`` if the star contraction has not reached
+    its fixpoint within ``max_iter`` rounds (returning labels from a
+    non-star edge set would silently duplicate nodes downstream).
     """
     u, v = F.col("u"), F.col("v")
-    e = (edges.select(F.col(id_a).cast("long").alias("u"),
-                      F.col(id_b).cast("long").alias("v"))
-         .where(u != v)
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    id_type = dict(edges.dtypes)[id_a]
+    hashed = id_type not in integral
+    if hashed:
+        # key on xxhash64; remember hash -> original for the join back
+        ea = F.xxhash64(F.col(id_a)).alias("u")
+        eb = F.xxhash64(F.col(id_b)).alias("v")
+        id_map = edges.select(F.col(id_a).alias("_oid")).unionByName(
+            edges.select(F.col(id_b).alias("_oid")))
+        if nodes is not None:
+            id_map = id_map.unionByName(
+                nodes.select(F.col(nodes.columns[0]).alias("_oid")))
+        id_map = id_map.distinct().select(
+            F.xxhash64("_oid").alias("_hid"), "_oid")
+        e = edges.select(ea, eb)
+    else:
+        e = edges.select(F.col(id_a).cast("long").alias("u"),
+                         F.col(id_b).cast("long").alias("v"))
+    e = (e.where(u != v)
          .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
          .distinct())
     e = e.localCheckpoint(eager=True)
     all_nodes = e.select(u.alias("id")).unionByName(
         e.select(v.alias("id"))).distinct()
     if nodes is not None:
-        all_nodes = all_nodes.unionByName(
-            nodes.select(F.col(nodes.columns[0]).cast("long")
-                         .alias("id"))).distinct()
+        extra = (id_map.select(F.col("_hid").alias("id")) if hashed
+                 else nodes.select(F.col(nodes.columns[0]).cast("long")
+                                   .alias("id")))
+        all_nodes = all_nodes.unionByName(extra).distinct()
 
-    prev_count = e.count()
+    def _sig(df):
+        # one action per round: (count, checksum) — equality across
+        # rounds is the fixpoint test (the edge set only changes by
+        # rewrites, so an unchanged multiset signature means e_new==e
+        # up to a 64-bit checksum collision; far cheaper than the old
+        # count()+exceptAll full-width shuffle pair)
+        r = df.agg(F.count("*").alias("n"),
+                   F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                    .alias("s")).first()
+        return (r["n"], r["s"])
+
+    prev_sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: each node u links every LARGER neighbor to the
         # minimum of its neighborhood (incl. itself)
@@ -575,17 +619,31 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          F.least(u, v).alias("v"))
                  .distinct())
         e_new = small.localCheckpoint(eager=True)
-        new_count = e_new.count()
-        converged = (new_count == prev_count
-                     and e_new.exceptAll(e).limit(1).count() == 0)
-        e, prev_count = e_new, new_count
+        new_sig = _sig(e_new)
+        converged = new_sig == prev_sig
+        e, prev_sig = e_new, new_sig
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star contraction did not reach a "
+            f"fixpoint within max_iter={max_iter} rounds; labels "
+            f"would be unsound (duplicate ids downstream)")
     # converged edge set is a star forest: (non-root, root)
     labels = e.select(u.alias("id"), v.alias("cluster_id"))
     roots = all_nodes.join(labels, "id", "left_anti") \
         .select("id", F.col("id").alias("cluster_id"))
-    return labels.unionByName(roots)
+    out = labels.unionByName(roots)
+    if hashed:
+        # join back to original id values: once for the node, once
+        # for the canonical label (both joins on the hash key)
+        cmap = id_map.select(F.col("_hid").alias("cluster_id"),
+                             F.col("_oid").alias("_coid"))
+        out = (out.join(id_map, out["id"] == id_map["_hid"])
+               .join(cmap, "cluster_id")
+               .select(F.col("_oid").alias("id"),
+                       F.col("_coid").alias("cluster_id")))
+    return out
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
@@ -600,7 +658,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     Returns (id, cluster_id, keep)."""
     comp = connected_components(pairs, nodes=docs.select(id_col),
                                 id_a=id_a, id_b=id_b)
-    d = docs.select(F.col(id_col).cast("long").alias("id"),
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    idc = F.col(id_col)
+    if dict(pairs.dtypes)[id_a] in integral:
+        idc = idc.cast("long")  # match comp's long keys
+    d = docs.select(idc.alias("id"),
                     F.length(F.col(text_col)).alias("_len"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_len"), F.asc("id"))

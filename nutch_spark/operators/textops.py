@@ -192,7 +192,10 @@ def top_ngram_char_fraction(docs: DataFrame, id_col: str = "doc_id",
     Tie-break: highest count, then longer n-gram, then lexicographic —
     deterministic across engines.
 
-    Returns (id, top_ngram, top_count, top_ngram_char_frac)."""
+    Total over its input: documents with fewer than ``n`` words have
+    no n-grams and come back with null top_ngram / top_count /
+    top_ngram_char_frac rather than being dropped (a left join back
+    to the input ids — callers joining results never lose docs)."""
     t = F.lower(F.trim(F.col(text_col)))
     raw_words = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
         .otherwise(F.array().cast("array<string>"))
@@ -217,11 +220,15 @@ def top_ngram_char_fraction(docs: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("cnt"))
     w = Window.partitionBy("id").orderBy(
         F.desc("cnt"), F.desc(F.length("g")), F.asc("g"))
-    return (counts
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("id", F.col("g").alias("top_ngram"),
-                    F.col("cnt").alias("top_count"),
-                    (F.col("cnt") * F.length("g")
-                     / F.col("_chars").cast("double"))
-                    .alias("top_ngram_char_frac")))
+    top = (counts
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("id", F.col("g").alias("top_ngram"),
+                   F.col("cnt").alias("top_count"),
+                   (F.col("cnt") * F.length("g")
+                    / F.col("_chars").cast("double"))
+                   .alias("top_ngram_char_frac")))
+    # left join back: docs with < n words (explode emitted nothing)
+    # return with null features instead of vanishing
+    ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(top, "id", "left")

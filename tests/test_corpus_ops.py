@@ -121,3 +121,19 @@ def test_dedup_substrings_overlapping_windows(spark):
     assert out[0].text == run + " tail0 tail1"  # canonical survives
     assert out[1].text == "lead0"
     assert out[1].n_removed_words == 8
+
+
+def test_sample_key_bounded_for_extreme_ids(spark):
+    # the multiplicative mix must stay in [0, 1) for multi-billion
+    # and negative ids (plain % used to wrap negative and admit rows
+    # into rate-0 strata); the closed form must also fit int64 so
+    # overflow-checking engines (DuckDB, Spark ANSI) can evaluate it
+    df = spark.createDataFrame(
+        [(0,), (1,), (-1,), (2**31,), (5_000_000_000,),
+         (-5_000_000_000,), (2**62,), (-(2**62),)], "doc_id long")
+    keys = [r.k for r in df.select(
+        corpus.sample_key(F.col("doc_id")).alias("k")).collect()]
+    assert all(0.0 <= k < 1.0 for k in keys)
+    # rate-0 stratum admits nothing, even at extreme ids
+    df2 = df.withColumn("lang", F.lit("xx"))
+    assert corpus.stratified_sample(df2, {"en": 0.5}).count() == 0

@@ -86,3 +86,49 @@ def test_minhash_pairs_to_clusters_end_to_end(spark):
     assert rows[3].cluster_id == 3
     assert sum(r.keep for r in rows.values()) == 2
     assert rows[1].keep  # longest of the dup cluster
+
+
+def test_string_ids_url_keys(spark):
+    # the reference DeduplicationJob keys clusters by URL — string ids
+    # must survive the internal xxhash64 keying and come back verbatim
+    e = spark.createDataFrame(
+        [("http://a.test/1", "http://a.test/2"),
+         ("http://a.test/2", "http://a.test/3"),
+         ("http://b.test/x", "http://b.test/y")],
+        "id_a string, id_b string")
+    nd = spark.createDataFrame(
+        [("http://a.test/1",), ("http://a.test/2",),
+         ("http://a.test/3",), ("http://b.test/x",),
+         ("http://b.test/y",), ("http://c.test/solo",)],
+        "doc_id string")
+    got = {r.id: r.cluster_id
+           for r in connected_components(e, nodes=nd).collect()}
+    assert set(got) == {r.doc_id for r in nd.collect()}
+    a = {"http://a.test/1", "http://a.test/2", "http://a.test/3"}
+    b = {"http://b.test/x", "http://b.test/y"}
+    assert len({got[u] for u in a}) == 1 and got[next(iter(a))] in a
+    assert len({got[u] for u in b}) == 1 and got[next(iter(b))] in b
+    assert got["http://c.test/solo"] == "http://c.test/solo"
+
+
+def test_dedup_clusters_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("u1", "long text wins here"), ("u2", "short"),
+         ("u3", "mid text")],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame([("u1", "u2"), ("u2", "u3")],
+                                  "id_a string, id_b string")
+    out = {r.id: r for r in
+           dedup_clusters(docs, pairs).collect()}
+    assert len({out[u].cluster_id for u in ("u1", "u2", "u3")}) == 1
+    assert out["u1"].keep and not out["u2"].keep and not out["u3"].keep
+
+
+def test_nonconvergence_raises(spark):
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 0, -1)], "id_a long, id_b long")
+    try:
+        connected_components(e, max_iter=1).collect()
+        raise AssertionError("expected RuntimeError on max_iter=1")
+    except RuntimeError as ex:
+        assert "fixpoint" in str(ex)

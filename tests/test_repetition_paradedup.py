@@ -38,7 +38,10 @@ def test_top_ngram_char_fraction(spark):
     assert out[1].top_count == 1
     # tie-break at equal count: longest n-gram wins
     assert out[1].top_ngram == "unique words"
-    assert 2 not in out  # empty text yields no n-grams
+    # total over input: empty text returns a null-feature row
+    assert 2 in out
+    assert out[2].top_ngram is None and out[2].top_count is None
+    assert out[2].top_ngram_char_frac is None
 
 
 def test_paragraph_dedup_global_first_wins(spark):

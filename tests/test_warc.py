@@ -86,3 +86,17 @@ def test_pages_warc_roundtrip_spark(spark):
     back = sources.warc_to_pages(blobs)
     got = {r.url: bytes(r.html) for r in back.collect()}
     assert got == {u: b for u, _, b in RECS}
+
+
+def test_warc_non_ascii_url_roundtrip():
+    # ISO 28500: WARC headers are UTF-8 — IRI target URIs must not
+    # blow up the encoder (one bad URL used to fail the whole task)
+    recs = [("http://bücher.test/straße?q=日本語",
+             "2024-01-01T00:00:00Z", b"<html>x</html>")]
+    for gz in (False, True):
+        data = W.encode_warc(recs, gzip_members=gz)
+        got = list(W.iter_warc_records(data))
+        assert len(got) == 1
+        assert got[0]["warc-target-uri"] == recs[0][0]
+        status, payload = W.http_payload(got[0])
+        assert status == 200 and payload == recs[0][2]
