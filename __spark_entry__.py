@@ -428,6 +428,41 @@ def q_indexer_filters(spark, sf):
         F.round("boost", 6).alias("boost"))
 
 
+GEOIP_RANGES = (
+    # three /11-ish blocks over 10.x; second octets 60-79 uncovered
+    ("10.0.0.0", "10.19.255.255", "Alpha", "AA", "Alphaland",
+     1.5, -2.25, "UTC", "11111", "EU"),
+    ("10.20.0.0", "10.39.255.255", "Beta", "BB", "Betania",
+     -33.0, 151.25, "Australia/Beta", "22222", "OC"),
+    ("10.40.0.0", "10.59.255.255", "Gamma", "CC", "Gammia",
+     None, None, "America/Gamma", None, "NA"),
+)
+
+
+def q_indexer_geoip(spark, sf):
+    """index-geoip cityDatabase analog
+    (GeoIPIndexingFilter.java:204-233): server IP from content-meta
+    ``_ip_`` -> /16-bucketed broadcast range join against a synthetic
+    city DB. IPs are a closed-form function of doc_id so DuckDB
+    reproduces the range arithmetic."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    ip = F.concat_ws(".", F.lit("10"), (i % 80).cast("string"),
+                     (i % 256).cast("string"), (i % 250).cast("string"))
+    doc = d.select(
+        _url(i).alias("url"),
+        F.map_from_arrays(F.array(F.lit("_ip_")), F.array(ip))
+         .alias("metadata"))
+    from nutch_spark.operators.indexing_filters import (
+        apply_indexing_filters)
+    cfg = CFG.with_(indexing_filters=("geoip",), store_ip_address=True,
+                    geoip_ranges=GEOIP_RANGES)
+    out = apply_indexing_filters(doc, cfg)
+    return out.select("url", "ip", "city_name", "country_iso",
+                      "country_name", "lat_lon", "time_zone",
+                      "postal_code", "continent_code")
+
+
 def q_parse_extract(spark, sf):
     d = _docs(spark, sf)
     i = F.col("doc_id")
@@ -935,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer_docs": q_indexer_docs,
         "indexer_deletes": q_indexer_deletes,
         "indexer_filters": q_indexer_filters,
+        "indexer_geoip": q_indexer_geoip,
         "parse_extract": q_parse_extract,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1226,6 +1262,34 @@ SELECT url, reason FROM r WHERE reason IS NOT NULL""",
         # full indexing-filter chain: basic truncation -> anchor dedup
         # -> index-more header fields -> index-metadata -> index-static
         # -> tld -> mimetype accept (drops null-type) -> subcollection
+        # ip = 10.(doc_id%80).x.y; blocks of 20 in the 2nd octet map
+        # to the three synthetic city-db ranges, 60-79 uncovered
+        "indexer_geoip": """
+WITH base AS (
+  SELECT doc_id,
+    'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+      || CAST(doc_id AS VARCHAR) AS url,
+    '10.' || CAST(doc_id % 80 AS VARCHAR) || '.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.'
+      || CAST(doc_id % 250 AS VARCHAR) AS ip,
+    CAST((doc_id % 80) // 20 AS INTEGER) AS blk
+  FROM documents)
+SELECT url, ip,
+  CASE blk WHEN 0 THEN 'Alpha' WHEN 1 THEN 'Beta'
+           WHEN 2 THEN 'Gamma' END AS city_name,
+  CASE blk WHEN 0 THEN 'AA' WHEN 1 THEN 'BB'
+           WHEN 2 THEN 'CC' END AS country_iso,
+  CASE blk WHEN 0 THEN 'Alphaland' WHEN 1 THEN 'Betania'
+           WHEN 2 THEN 'Gammia' END AS country_name,
+  CASE blk WHEN 0 THEN '1.5,-2.25'
+           WHEN 1 THEN '-33.0,151.25' END AS lat_lon,
+  CASE blk WHEN 0 THEN 'UTC' WHEN 1 THEN 'Australia/Beta'
+           WHEN 2 THEN 'America/Gamma' END AS time_zone,
+  CASE blk WHEN 0 THEN '11111' WHEN 1 THEN '22222' END AS postal_code,
+  CASE blk WHEN 0 THEN 'EU' WHEN 1 THEN 'OC'
+           WHEN 2 THEN 'NA' END AS continent_code
+FROM base""",
+
         "indexer_filters": """
 WITH base AS (
   SELECT doc_id, text,

@@ -25,7 +25,8 @@ BENCH_QUERIES = [
     "linkdb_invert", "webgraph_degrees", "crawldb_merge",
     "crawldb_stats", "indexer_docs", "parse_extract",
     "doc_tokens", "doc_quality", "doc_langid", "doc_fingerprint",
-    "exact_dedup", "minhash_lsh", "simhash_neardup", "ann_topk",
+    "indexer_geoip", "exact_dedup", "minhash_lsh",
+    "simhash_neardup", "ann_topk",
     "events_hourly", "fetch_politeness",
     "generate_segments", "domain_stats", "domain_stats_domain",
     "indexer_deletes", "loops_detect", "linkrank",
@@ -212,14 +213,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = round(run_once(name), 3)
     # noise control: on this shared VM a single sample can land in a
-    # 2-3x-slow host window; re-time the expensive queries once and
-    # keep the minimum (the least-interfered sample). Clear cached
-    # blocks + cycle the JVM GC first so late queries are not also
-    # paying for the whole suite's accumulated block-manager state.
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-    for name in BENCH_QUERIES:
-        if timings[name] > 3.0:
+    # 2-3x-slow host window (canary-documented in BENCH.md), so the
+    # snapshot must carry interleaved min-of-N for the expensive
+    # queries — two extra passes over the heavy set, the second in
+    # reverse order, so every heavy query gets samples from three
+    # separated time windows and queue position decorrelates from
+    # host drift. Clear cached blocks + cycle the JVM GC per pass so
+    # late queries are not also paying for accumulated block-manager
+    # state.
+    heavy = [n for n in BENCH_QUERIES if timings[n] > 3.0]
+    for rep in range(2):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        for name in (reversed(heavy) if rep else heavy):
             timings[name] = round(min(timings[name], run_once(name)), 3)
 
     cyc_sec, cyc_urls = crawl_cycle(spark, SF_DIR)

@@ -116,6 +116,13 @@ class CrawlConfig:
     mimetype_filter_prefixes: tuple[str, ...] = ()
     # ((name, (white substrings...), (black substrings...)), ...)
     subcollections: tuple[tuple, ...] = ()
+    # index-geoip (GeoIPIndexingFilter.java): gated on store.ip.address
+    store_ip_address: bool = False        # store.ip.address
+    # synthetic cityDatabase fixture — ((start_ip, end_ip, city,
+    # country_iso, country, lat, lon, time_zone, postal,
+    # continent_code), ...); production swaps in a real GeoLite2
+    # ranges table via indexing_filters.index_geoip_with
+    geoip_ranges: tuple[tuple, ...] = ()
 
     # --- scoring plugin selection ---
     # "opic" (OPICScoringFilter): outlinks inherit parent/n score,

@@ -313,15 +313,7 @@ class CrawlRun:
         # plan introspection for tests/bench: the pre-write frames whose
         # physical plans carry the round's shuffle structure
         self.debug_plans = {"updatedb": new_db, "schedule": fr["schedule"]}
-        # stage (durable, uncommitted) — the crawldb snapshot is the
-        # resume marker, so its COMMIT must be the round's last write:
-        # a crash after the commit but before linkdb/bloom would
-        # otherwise mark the round done with those products missing
-        # (they are derived below from the staged data, then the
-        # commit record lands last)
-        new_db = self._stage_crawldb(new_db, rnd)
-        n_db = new_db.count()
-        self._metric(rnd, "updatedb", rows=n_db, sec=time.time() - t0)
+        t_updatedb = time.time() - t0
 
         t0 = time.time()
         edges = parse_op.outlink_edges(parse_data)
@@ -345,9 +337,21 @@ class CrawlRun:
                 loops=loops)
             nodedb = ranks  # (url, score) is all score_updater needs
             new_db = linkdb_op.score_updater(new_db, nodedb)
-            new_db = self._stage_crawldb(new_db, rnd)
             self._metric(rnd, "linkrank", rows=ranks.count(),
                          sec=time.time() - t0)
+
+        # stage (durable, uncommitted) — the crawldb snapshot is the
+        # resume marker, so its COMMIT must be the round's last write:
+        # a crash after the commit but before linkdb/bloom would
+        # otherwise mark the round done with those products missing.
+        # Staging happens AFTER the linkrank branch so link-scoring
+        # mode pays exactly ONE bucketed write of the 10^10-row table
+        # per round (it used to stage pre- and post-score-update).
+        t0 = time.time()
+        new_db = self._stage_crawldb(new_db, rnd)
+        n_db = new_db.count()
+        self._metric(rnd, "updatedb", rows=n_db,
+                     sec=t_updatedb + time.time() - t0)
 
         if self.use_bloom:
             self._write_bloom(new_db, rnd)

@@ -21,6 +21,7 @@ Plugins reproduced (reference file:line in each function):
 - ``tld``        TLDIndexingFilter.java     (public-suffix field)
 - ``mimetype``   MimeTypeIndexingFilter.java (accept/reject by prefix)
 - ``subcollection`` SubcollectionIndexingFilter.java (matching names)
+- ``geoip``      GeoIPIndexingFilter.java   (ip-range city-db lookup)
 
 HTTP response headers travel in the document's ``metadata``
 map<string,string> column (the fetcher's content metadata — the
@@ -203,6 +204,86 @@ def subcollection(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return doc.withColumn("subcollection", arr)
 
 
+GEO_FIELDS = ("city_name", "country_iso", "country_name", "lat_lon",
+              "time_zone", "postal_code", "continent_code")
+
+_GEO_SCHEMA = ("start_ip string, end_ip string, city_name string, "
+               "country_iso string, country_name string, lat double, "
+               "lon double, time_zone string, postal_code string, "
+               "continent_code string")
+
+
+def _ip_num(col):
+    """Dotted-quad IPv4 -> uint32 (as long), null on malformed input
+    — pure JVM arithmetic, no UDF."""
+    ok = col.rlike(
+        r"^(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}$")
+    parts = F.split(col, r"\.")
+    num = (F.element_at(parts, 1).cast("long") * 16777216
+           + F.element_at(parts, 2).cast("long") * 65536
+           + F.element_at(parts, 3).cast("long") * 256
+           + F.element_at(parts, 4).cast("long"))
+    return F.when(ok, num)
+
+
+def index_geoip(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """index-geoip cityDatabase analog (GeoIPIndexingFilter.java:
+    204-233, GeoIPDocumentCreator.createDocFromCityDb): when
+    ``store.ip.address`` is on, the server IP travels in the content
+    metadata key ``_ip_``; the filter adds ``ip`` plus city-db fields
+    (city/country/latlon/timezone/postal/continent), all null when
+    there is no IP or no covering range.
+
+    The MaxMind .mmdb side-file becomes a ranges DataFrame —
+    ``cfg.geoip_ranges`` ships a deterministic fixture (no geo DB in
+    the sandbox); production loads a real GeoLite2 CSV and calls
+    :func:`index_geoip_with` directly."""
+    if not cfg.store_ip_address:
+        return doc
+    spark = doc.sparkSession
+    geo = spark.createDataFrame(list(cfg.geoip_ranges), _GEO_SCHEMA)
+    return index_geoip_with(doc, geo)
+
+
+def index_geoip_with(doc: DataFrame, geo: DataFrame) -> DataFrame:
+    """Join geo fields onto the doc frame by IP range.
+
+    100 TB shape: a raw range predicate would force a
+    BroadcastNestedLoopJoin (every doc row scans every range). Instead
+    each range is exploded over the /16 buckets it spans and the join
+    is an EQUI-join on the bucket (broadcast hash join — GeoLite2 city
+    is ~3M ranges, a few hundred MB exploded, well within broadcast
+    range) followed by the start<=ip<=end filter. Ranges rarely span
+    many /16s, so the explode is ~1 row per range."""
+    from pyspark.sql.functions import broadcast
+    gstart, gend = _ip_num(F.col("start_ip")), _ip_num(F.col("end_ip"))
+    lat_lon = F.when(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+        F.concat(F.col("lat").cast("string"), F.lit(","),
+                 F.col("lon").cast("string")))
+    geob = (geo.select(
+        gstart.alias("_gs"), gend.alias("_ge"),
+        F.col("city_name"), F.col("country_iso"),
+        F.col("country_name"), lat_lon.alias("lat_lon"),
+        F.col("time_zone"), F.col("postal_code"),
+        F.col("continent_code"))
+        .where(F.col("_gs").isNotNull() & F.col("_ge").isNotNull())
+        .select(F.explode(F.sequence(
+            (F.col("_gs") / 65536).cast("long"),
+            (F.col("_ge") / 65536).cast("long"))).alias("_bucket"),
+            "_gs", "_ge", *GEO_FIELDS))
+    withip = doc.withColumn("ip", _meta(doc, "_ip_")) \
+        .withColumn("_ipn", _ip_num(F.col("ip"))) \
+        .withColumn("_bucket", (F.col("_ipn") / 65536).cast("long"))
+    joined = (withip.join(
+        broadcast(geob),
+        (withip["_bucket"] == geob["_bucket"])
+        & (F.col("_ipn") >= F.col("_gs"))
+        & (F.col("_ipn") <= F.col("_ge")), "left")
+        .drop("_bucket", "_gs", "_ge", "_ipn"))
+    return joined
+
+
 FILTERS = {
     "basic": index_basic,
     "anchor": index_anchor,
@@ -212,6 +293,7 @@ FILTERS = {
     "tld": index_tld,
     "mimetype": mimetype_filter,
     "subcollection": subcollection,
+    "geoip": index_geoip,
 }
 
 

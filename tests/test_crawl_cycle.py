@@ -217,3 +217,24 @@ def test_link_scoring_cycle(spark, tmp_path, fixture):
     assert all(abs(s) < 1e-9 or s >= 0.1499 for s in rows.values())
     lr = [m for m in run.metrics if m["stage"] == "linkrank"]
     assert lr and lr[0]["rows"] > 0
+
+
+def test_link_scoring_stages_crawldb_once_per_round(
+        spark, tmp_path, fixture, monkeypatch):
+    """Link-scoring mode must pay exactly ONE durable crawldb stage
+    per round: staging used to happen before AND after the linkrank
+    score update — two full bucketed writes of the 10^10-row table."""
+    calls = []
+    orig = CrawlRun._stage_crawldb
+
+    def counting(self, df, rnd):
+        calls.append(rnd)
+        return orig(self, df, rnd)
+
+    monkeypatch.setattr(CrawlRun, "_stage_crawldb", counting)
+    _run(spark, tmp_path / "once", fixture, rounds=2,
+         scoring_filter="link")
+    # inject stages round 0 once; each crawl round stages once
+    from collections import Counter
+    per_round = Counter(calls)
+    assert all(n == 1 for n in per_round.values()), per_round

@@ -149,3 +149,54 @@ def test_chain_is_single_codegen_stage(doc):
     plan = apply_indexing_filters(doc, cfg)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_index_geoip_range_lookup(spark):
+    from nutch_spark.operators.indexing_filters import index_geoip
+    ranges = (
+        # spans two /16 buckets — the explode must cover both
+        ("10.0.0.0", "10.1.255.255", "Alpha", "AA", "Alphaland",
+         1.5, -2.25, "UTC", "11111", "EU"),
+        ("192.168.5.0", "192.168.5.255", "Beta", "BB", "Betania",
+         None, None, "America/Beta", None, "NA"),
+    )
+    doc = spark.createDataFrame(
+        [("http://a.test/", {"_ip_": "10.0.3.7"}),
+         ("http://b.test/", {"_ip_": "10.1.200.1"}),
+         ("http://c.test/", {"_ip_": "192.168.5.77"}),
+         ("http://d.test/", {"_ip_": "172.16.0.1"}),   # uncovered
+         ("http://e.test/", {"_ip_": "999.1.2.3"}),    # malformed
+         ("http://f.test/", None)],                    # no metadata
+        "url string, metadata map<string,string>")
+    cfg = DEFAULT.with_(indexing_filters=("geoip",),
+                        store_ip_address=True, geoip_ranges=ranges)
+    out = {r.url: r for r in
+           apply_indexing_filters(doc, cfg).collect()}
+    assert out["http://a.test/"].city_name == "Alpha"
+    assert out["http://a.test/"].lat_lon == "1.5,-2.25"
+    assert out["http://b.test/"].city_name == "Alpha"  # 2nd bucket
+    assert out["http://c.test/"].country_iso == "BB"
+    assert out["http://c.test/"].lat_lon is None
+    assert out["http://c.test/"].time_zone == "America/Beta"
+    for u in ("http://d.test/", "http://e.test/", "http://f.test/"):
+        assert out[u].city_name is None
+    assert out["http://d.test/"].ip == "172.16.0.1"
+    assert out["http://f.test/"].ip is None
+    # store.ip.address off -> a no-op, like the reference's gate
+    off = apply_indexing_filters(doc, cfg.with_(store_ip_address=False))
+    assert "ip" not in off.columns
+
+
+def test_index_geoip_is_broadcast_hash_join(spark):
+    from nutch_spark.operators.indexing_filters import index_geoip
+    cfg = DEFAULT.with_(store_ip_address=True, geoip_ranges=(
+        ("10.0.0.0", "10.0.0.255", "X", "XX", "Xland",
+         0.0, 0.0, "UTC", "1", "EU"),))
+    doc = spark.createDataFrame(
+        [("u", {"_ip_": "10.0.0.1"})],
+        "url string, metadata map<string,string>")
+    plan = index_geoip(doc, cfg)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # equi-join on the /16 bucket, never a nested-loop range scan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -137,3 +137,56 @@ def test_loops_cap_deterministic(spark):
     b = sorted((r.url, tuple(sorted(r.loop_set)))
                for r in find_loops(e, max_routes_per_node=3).collect())
     assert a == b
+
+
+def _hub_graph(spark, n_spokes=40):
+    """A dense hub: every spoke links the hub and the hub links every
+    spoke (n reciprocal 2-loops through one node), plus a disjoint
+    clean 2-loop. Routes sitting at the hub = n_spokes — the fan-out
+    shape the route cap exists for."""
+    hub = "http://hub.ex/"
+    pairs = []
+    for i in range(n_spokes):
+        s = f"http://s{i:03d}.ex/"
+        pairs += [(s, hub), (hub, s)]
+    pairs += [("http://x.ex/", "http://y.ex/"),
+              ("http://y.ex/", "http://x.ex/")]
+    return _edges(spark, pairs)
+
+
+def test_loops_route_cap_invisible_when_not_binding(spark):
+    """Cap far above the hub's route count -> byte-identical output
+    to the uncapped run (the default-100k 'invisible on the test
+    corpus' claim, exercised)."""
+    e = _hub_graph(spark)
+    capped = {r.url: set(r.loop_set)
+              for r in find_loops(e, max_routes_per_node=1000).collect()}
+    uncapped = {r.url: set(r.loop_set)
+                for r in find_loops(e, max_routes_per_node=None)
+                .collect()}
+    assert capped == uncapped
+
+
+def test_loops_route_cap_binds_gracefully_on_hub(spark):
+    """Cap below the hub's route count: bounded work, found loops are
+    a deterministic SUBSET of the uncapped output (recall trades for
+    the outdeg^depth bound — never wrong pairs, never duplicates),
+    and loops away from the hub are unaffected."""
+    e = _hub_graph(spark)
+    uncapped = {r.url: set(r.loop_set)
+                for r in find_loops(e, max_routes_per_node=None)
+                .collect()}
+    capped_rows = find_loops(e, max_routes_per_node=5).collect()
+    capped = {r.url: set(r.loop_set) for r in capped_rows}
+    assert len(capped_rows) == len(capped)  # no duplicate urls
+    for url, ls in capped.items():
+        assert ls <= uncapped[url]          # subset, never invention
+    # the cap only squeezes the hub neighborhood; the disjoint clean
+    # loop (and the hub's own entry) survive intact
+    assert capped["http://x.ex/"] == {"http://y.ex/"}
+    assert capped["http://y.ex/"] == {"http://x.ex/"}
+    assert "http://hub.ex/" in capped
+    # determinism: same cap -> same output
+    again = {r.url: set(r.loop_set)
+             for r in find_loops(e, max_routes_per_node=5).collect()}
+    assert again == capped
