@@ -238,3 +238,39 @@ def test_link_scoring_stages_crawldb_once_per_round(
     from collections import Counter
     per_round = Counter(calls)
     assert all(n == 1 for n in per_round.values()), per_round
+
+
+def test_cycle_politeness_lower_bound(spark, tmp_path, fixture):
+    """TestFetcher.java:116-119 ports to virtual time: the reference
+    asserts wall-clock fetch time > (n_pages+1) * fetcher.server.delay
+    on its single-host corpus; under the virtual-time contract the
+    per-queue schedule span must be at least (k-1) * delay for a
+    queue that attempted k fetches (FIFO, one start per delay tick —
+    robots crawl-delay can only stretch it)."""
+    # round 1 fetches only the seeds (one per host); round 2's queues
+    # carry the discovered per-host pages and exercise the delay chain
+    import re
+    run, _ = _run(spark, tmp_path / "pol", fixture, rounds=2)
+    seg = spark.read.parquet(
+        str(tmp_path / "pol" / "segments" / "crawl_fetch" / "round=2"))
+    # effective per-queue delay: robots Crawl-delay overrides
+    # fetcher.server.delay (fetch.py delay chain)
+    delay = {}
+    for r in fixture["robots"].collect():
+        m = re.search(r"Crawl-delay:\s*(\d+)", r.robots_txt or "")
+        if m:
+            delay[r.authority] = int(m.group(1)) * 1000
+    default = run.cfg.fetcher_server_delay_ms
+    rows = (seg.where(F.col("virtual_time").isNotNull())
+            .groupBy("queue_id")
+            .agg(F.count("*").alias("k"),
+                 (F.max("virtual_time") - F.min("virtual_time"))
+                 .alias("span"))
+            .collect())
+    assert rows, "no fetch queues in round 2"
+    multi = [r for r in rows if r.k > 1]
+    assert multi, "fixture should exercise multi-url queues"
+    for r in rows:
+        d = delay.get(r.queue_id, default)
+        assert r.span >= (r.k - 1) * d, \
+            f"queue {r.queue_id}: span {r.span} < ({r.k}-1)*{d}"

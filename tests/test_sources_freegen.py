@@ -81,3 +81,39 @@ def test_depth_scoring_budget(spark):
     linked2 = parse_segment(content_at(2), cfg, 0)["crawl_parse"] \
         .where(F.col("status") == "linked").collect()
     assert linked2 == []  # depth 3 > max 2 → dropped
+
+
+def test_dump_crawldb_writer_parity(spark, tmp_path):
+    """readdb -dump sink parity (CrawlDbReader.java): the csv/json
+    writers must round-trip exactly the rows crawldb_dump selects —
+    same filters, same values — so the file output and the DataFrame
+    API never disagree."""
+    from nutch_spark.operators.readers import crawldb_dump
+    from nutch_spark.operators.sources import dump_crawldb
+
+    db = spark.createDataFrame(
+        [("http://a.test/x", "db_fetched", 1000, 0, 3600, 1.5,
+          "sigA", 0, {"k": "v"}),
+         ("http://b.test/y", "db_unfetched", 2000, 2, 3600, 0.5,
+          None, 0, None),
+         ("http://a.test/z", "db_gone", 3000, 3, 3600, 0.0,
+          None, 0, None)],
+        "url string, status string, fetch_time long, retries int, "
+        "fetch_interval int, score double, signature string, "
+        "modified_time long, metadata map<string,string>")
+    expect = sorted(
+        (r.url, r.status, r.retries)
+        for r in crawldb_dump(db, regex=r"^http://a\.test/").collect())
+
+    jd = str(tmp_path / "dump_json")
+    dump_crawldb(db, jd, fmt="json", regex=r"^http://a\.test/")
+    got_j = sorted((r.url, r.status, r.retries)
+                   for r in spark.read.json(jd).collect())
+    assert got_j == expect
+
+    cd = str(tmp_path / "dump_csv")
+    dump_crawldb(db, cd, fmt="csv", regex=r"^http://a\.test/")
+    got_c = sorted(
+        (r.url, r.status, int(r.retries))
+        for r in spark.read.option("header", True).csv(cd).collect())
+    assert got_c == expect
