@@ -22,10 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.operators import (
-    ann, corpus, dedup, dedup_text, fetch as fetch_op,
-    generate as gen_op, inject as inject_op, linkdb as linkdb_op,
-    multimodal, parse as parse_op, readers, sources as sources_op,
-    textops, updatedb as update_op,
+    ann, corpus, dedup, dedup_text, feed as feed_op,
+    fetch as fetch_op, generate as gen_op, inject as inject_op,
+    linkdb as linkdb_op, multimodal, parse as parse_op, readers,
+    sources as sources_op, textops, updatedb as update_op,
 )
 from nutch_spark.operators.merge import merge_crawldbs
 
@@ -662,6 +662,23 @@ def q_warc_ingest(spark, sf):
         F.length("html").cast("long").alias("n_bytes"))
 
 
+def q_feed_parse(spark, sf):
+    """REAL RSS/Atom parsing (parse-feed plugin, FeedParser.java):
+    docs → feed XML blobs (closed-form per make_feed_blobs, RSS/Atom
+    alternating by group) → parse_feeds → one row per entry plus one
+    per feed. The oracle recomputes every field from doc_id
+    arithmetic: mailto links (i%11==0) are url-filter drops, PHPSESSID
+    / #frag links normalize back to the base url, RSS groups (even g)
+    carry no item updated date."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    parsed = feed_op.parse_feeds(feed_op.make_feed_blobs(d), CFG)
+    return parsed.select(
+        "url", "kind", "feed", "title", "text",
+        F.array_join("authors", "|").alias("author"),
+        F.array_join("tags", "|").alias("tags"),
+        "published", "updated")
+
+
 def q_ann_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "dedup_substrings": q_dedup_substrings,
         "warc_ingest": q_warc_ingest,
+        "feed_parse": q_feed_parse,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1618,6 +1636,33 @@ SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
             AS INTEGER) AS http_status,
        CAST(STRLEN(text) AS BIGINT) AS n_bytes
 FROM documents""",
+
+        # parse-feed round trip: every output field is doc_id
+        # arithmetic (see q_feed_parse)
+        "feed_parse": """
+WITH d AS (SELECT doc_id AS i, text, doc_id // 16 AS g FROM documents)
+SELECT 'http://host' || CAST(i % 40 AS VARCHAR) || '.test/p'
+         || CAST(i AS VARCHAR) AS url,
+       'entry' AS kind,
+       'http://host' || CAST(g % 40 AS VARCHAR) || '.test/' AS feed,
+       'Entry ' || CAST(i AS VARCHAR) AS title,
+       text,
+       'author' || CAST(i % 7 AS VARCHAR) AS author,
+       't' || CAST(i % 5 AS VARCHAR) || '|' || 's'
+         || CAST(i % 3 AS VARCHAR) AS tags,
+       CAST(1704067200000 + (i % 86400) * 1000 AS BIGINT) AS published,
+       CAST(CASE WHEN g % 2 = 1 THEN
+            1704067200000 + (i % 86400) * 1000 + 3600000
+            END AS BIGINT) AS updated
+FROM d WHERE i % 11 <> 0
+UNION ALL
+SELECT 'http://feeds.test/feed' || CAST(g AS VARCHAR) AS url,
+       'feed' AS kind, NULL AS feed,
+       'Feed ' || CAST(g AS VARCHAR) AS title,
+       'Syndication feed ' || CAST(g AS VARCHAR) AS text,
+       '' AS author, '' AS tags,
+       CAST(NULL AS BIGINT) AS published, CAST(NULL AS BIGINT) AS updated
+FROM (SELECT DISTINCT doc_id // 16 AS g FROM documents)""",
 
         # distinct word-8-gram overlap vs the every-97th-doc benchmark
         "decontaminate": r"""

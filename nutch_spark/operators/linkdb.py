@@ -67,10 +67,16 @@ def _capped_inlinks(rows: DataFrame, cap: int) -> DataFrame:
     ``cap`` structs — the same bounded-queue semantics as the
     reference's reduce-side cap (LinkDb.java:147-153,
     LinkDbMerger.java:73-95). Keeps the N smallest (from_url, anchor)
-    pairs, identical to the previous sort+slice output. The window and
-    the groupBy share the url hash-partitioning, so only the
-    dropDuplicates adds a shuffle."""
-    df = rows.dropDuplicates(["url", "from_url", "anchor"])
+    pairs, identical to the previous sort+slice output.
+
+    ONE exchange: the dedup key contains ``url``, so hash-partitioning
+    on ``url`` alone satisfies the clustered distribution of the
+    dropDuplicates aggregate, the window, AND the final groupBy —
+    without the explicit repartition, dropDuplicates would shuffle on
+    all three columns and the window would re-shuffle on url (two
+    full-width exchanges of the edge table instead of one)."""
+    df = rows.repartition("url").dropDuplicates(
+        ["url", "from_url", "anchor"])
     w = Window.partitionBy("url").orderBy("from_url", "anchor")
     df = (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= cap).drop("_rn"))

@@ -55,6 +55,25 @@ def test_invert_links_and_cap(spark):
         == ["http://a.test/1"]
 
 
+def test_invert_links_single_exchange(spark):
+    """The dedup key contains url, so one url repartition must carry
+    the dropDuplicates aggregate, the cap window, and the final
+    groupBy — exactly ONE Exchange in the whole invert plan (the edge
+    table is the widest table in the system; a second full-width
+    shuffle of it was the old plan's cost)."""
+    cfg = CrawlConfig(db_ignore_internal_links=False)
+    edges = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/{i}", f"http://t{i % 11}.test/x", "a")
+         for i in range(100)],
+        "from_url string, to_url string, anchor string")
+    out = invert_links(edges, cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    rows = {r.url: len(r.inlinks) for r in out.collect()}
+    assert len(rows) == 11  # t0..t10
+    assert sum(rows.values()) == 100  # every edge distinct, none lost
+
+
 def test_anchor_truncation(spark):
     cfg = CrawlConfig(db_max_anchor_length=5,
                       db_ignore_internal_links=False)
