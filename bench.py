@@ -78,7 +78,8 @@ def crawl_cycle(spark, sf: str, repl: int = 40) -> tuple[float, int]:
         F.lit(0).cast("long").alias("modified_time"),
         F.lit(None).cast("map<string,string>").alias("metadata"))
     fl = gen_op.generate(db, cfg, cur_time_ms=e.CUR_TIME_MS,
-                         gen_time_ms=e.CUR_TIME_MS)
+                         gen_time_ms=e.CUR_TIME_MS,
+                         partition_output=False)
     pages = d.select(
         _u(F.col("doc_id")).alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),

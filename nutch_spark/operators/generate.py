@@ -34,9 +34,24 @@ from . import schedules
 
 def generate(crawldb: DataFrame, cfg: CrawlConfig,
              cur_time_ms: int | None = None,
-             gen_time_ms: int | None = None) -> DataFrame:
+             gen_time_ms: int | None = None,
+             partition_output: bool = True) -> DataFrame:
     """Produce the fetchlist (FETCHLIST schema: CRAWLDB + segnum +
-    fetch_partition), ordered for polite fetching."""
+    fetch_partition), ordered for polite fetching.
+
+    ``partition_output=False`` keeps the schema (``fetch_partition``
+    and ``_urlhash`` columns are still computed) but skips the
+    physical salted-host repartition + url-hash sort. Use it when the
+    fetchlist flows straight into the two-phase fetcher without being
+    stored: :func:`~nutch_spark.operators.fetch.schedule_fetchlist`
+    re-clusters on ``(queue_id, _attempted)`` for the politeness
+    windows regardless of input layout, so the generate-side exchange
+    and sort of the full fetchlist would be immediately discarded —
+    one redundant full-width shuffle+sort per round on the widest
+    per-round frame. Callers that *store* the fetchlist as a
+    crawl_generate segment (CrawlRun) keep the default: the layout is
+    the reference's on-disk segment order (Generator.java:386-416) and
+    doubles as the durable artifact."""
     if cur_time_ms is None:
         cur_time_ms = int(time.time() * 1000)
     if gen_time_ms is None:
@@ -185,19 +200,20 @@ def generate(crawldb: DataFrame, cfg: CrawlConfig,
           .withColumn(
               "fetch_partition",
               F.pmod(F.xxhash64(F.col("_hostordomain"),
-                                F.lit(cfg.partition_seed)), n).cast("int"))
-          .repartition(n, F.col("fetch_partition"))
-          # _urlhash is computed AFTER the repartition: planning the
-          # Arrow UDF below the topN limit would split it into
-          # LocalLimit/GlobalLimit with a full range sort instead of
-          # TakeOrderedAndProject (per-partition heaps + merge)
-          .withColumn("_urlhash", udfs["url_hash"](F.col("url")))
-          .sortWithinPartitions("_urlhash")
-          # _urlhash stays in the output: the fetcher's FIFO windows
-          # order by the same hash (fetch.schedule_fetchlist reuses the
-          # column instead of re-running the Arrow UDF over every url)
-          .drop("_sort", "_hostordomain"))
-    return df
+                                F.lit(cfg.partition_seed)), n).cast("int")))
+    if partition_output:
+        df = df.repartition(n, F.col("fetch_partition"))
+    # _urlhash is computed AFTER the repartition: planning the
+    # Arrow UDF below the topN limit would split it into
+    # LocalLimit/GlobalLimit with a full range sort instead of
+    # TakeOrderedAndProject (per-partition heaps + merge).
+    # _urlhash stays in the output: the fetcher's FIFO windows
+    # order by the same hash (fetch.schedule_fetchlist reuses the
+    # column instead of re-running the Arrow UDF over every url)
+    df = df.withColumn("_urlhash", udfs["url_hash"](F.col("url")))
+    if partition_output:
+        df = df.sortWithinPartitions("_urlhash")
+    return df.drop("_sort", "_hostordomain")
 
 
 def _bottom_k_by_key(df: DataFrame, k: int, key_col: str,

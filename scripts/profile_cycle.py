@@ -48,7 +48,8 @@ def timed_cycle(spark, crawldb, pages, cores: int) -> dict:
     # flows into the politeness schedule, which is the cycle's single
     # materialization point for the frontier side
     fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
-                         gen_time_ms=e.CUR_TIME_MS)
+                         gen_time_ms=e.CUR_TIME_MS,
+                         partition_output=False)
     sched = fetch_op.schedule_fetchlist(
         fl, pages, robots, None, cfg, e.CUR_TIME_MS) \
         .localCheckpoint(eager=True)

@@ -101,7 +101,8 @@ def one_cycle(spark, crawldb, pages, cores: int) -> int:
     # the windows and the frontier joins run once per cycle instead of
     # once per consumer, and the html join touches only success rows.
     fl = gen_op.generate(crawldb, cfg, cur_time_ms=e.CUR_TIME_MS,
-                         gen_time_ms=e.CUR_TIME_MS)
+                         gen_time_ms=e.CUR_TIME_MS,
+                         partition_output=False)
     sched = fetch_op.schedule_fetchlist(
         fl, pages, robots, None, cfg, e.CUR_TIME_MS) \
         .localCheckpoint(eager=True)

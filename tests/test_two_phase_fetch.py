@@ -113,3 +113,37 @@ def test_updatedb_join_mode_bucketed_no_db_exchange(spark, bucketed_db):
     assert plan.count("Exchange") == flat_plan.count("Exchange") - 1
     # and the result must still be correct: 200 db rows survive
     assert out.count() == 200
+
+
+def test_generate_partition_output_false_same_schedule(spark):
+    """partition_output=False must change ONLY the physical layout of
+    the fetchlist: the row set (including fetch_partition / _urlhash
+    columns) and the politeness schedule derived from it are
+    row-identical — virtual_time comes from the window ORDER, never
+    from the input partitioning. The skipped exchange+sort is the
+    point: the plan without layout must carry one fewer Exchange."""
+    from nutch_spark.operators import generate as gen_op
+
+    db = crawldb_df(spark, [
+        datum(f"http://h{i % 5}.test/p{i}", "db_unfetched",
+              fetch_time=0, score=float(i % 7)) for i in range(60)])
+    cfg = DEFAULT.with_(generate_top_n=-1, generate_filter=False,
+                        num_fetch_partitions=4)
+    fl_a = gen_op.generate(db, cfg, cur_time_ms=NOW, gen_time_ms=NOW)
+    fl_b = gen_op.generate(db, cfg, cur_time_ms=NOW, gen_time_ms=NOW,
+                           partition_output=False)
+    assert fl_a.columns == fl_b.columns
+    assert sorted(map(str, fl_a.collect())) \
+        == sorted(map(str, fl_b.collect()))
+    plan_a = fl_a._jdf.queryExecution().executedPlan().toString()
+    plan_b = fl_b._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count("Exchange") == 0
+    assert plan_a.count("Exchange") >= 1
+
+    robots = _empty_robots(spark)
+    pages = _pages(spark, [f"http://h{i % 5}.test/p{i}"
+                           for i in range(0, 60, 2)])
+    sa = fetch_op.schedule_fetchlist(fl_a, pages, robots, None, cfg, NOW)
+    sb = fetch_op.schedule_fetchlist(fl_b, pages, robots, None, cfg, NOW)
+    assert sorted(map(str, sa.collect())) \
+        == sorted(map(str, sb.collect()))
