@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.operators import (
-    ann, corpus, dedup, dedup_text, feed as feed_op,
+    ann, archive as archive_op, corpus, dedup, dedup_text,
+    feed as feed_op,
     fetch as fetch_op, generate as gen_op, inject as inject_op,
     linkdb as linkdb_op, multimodal, parse as parse_op, readers,
     sources as sources_op, textops, updatedb as update_op,
@@ -662,6 +663,28 @@ def q_warc_ingest(spark, sf):
         F.length("html").cast("long").alias("n_bytes"))
 
 
+def q_zip_parse(spark, sf):
+    """REAL ZIP container parsing (parse-zip plugin, ZipParser.java /
+    ZipTextExtractor.java): docs -> deterministic ZIP archives (8 docs
+    per archive, txt + html entry per doc, plus no-extension /
+    unparseable / directory entries that the walk must skip) ->
+    parse_zips -> one row per archive. Archives with g % 13 == 0 are
+    truncated against their declared Content-Length and must fail as
+    failed_truncated with no entry read. The oracle recomputes text
+    (the reference's name-space-text-space concatenation in entry
+    order), the outlink list, and the truncation gate from doc_id
+    arithmetic."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    parsed = archive_op.parse_zips(archive_op.make_zip_blobs(d), CFG)
+    return parsed.select(
+        "url", "status", "title", "text",
+        F.array_join(F.transform("outlinks", lambda o: o["to_url"]),
+                     "|").alias("links"),
+        F.array_join(F.transform("outlinks", lambda o: o["anchor"]),
+                     "|").alias("anchors"),
+        F.size("outlinks").alias("n_links"))
+
+
 def q_feed_parse(spark, sf):
     """REAL RSS/Atom parsing (parse-feed plugin, FeedParser.java):
     docs → feed XML blobs (closed-form per make_feed_blobs, RSS/Atom
@@ -1004,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "warc_ingest": q_warc_ingest,
         "feed_parse": q_feed_parse,
+        "zip_parse": q_zip_parse,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "fetch_politeness": q_fetch_politeness,
@@ -1636,6 +1660,30 @@ SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
             AS INTEGER) AS http_status,
        CAST(STRLEN(text) AS BIGINT) AS n_bytes
 FROM documents""",
+
+        # parse-zip round trip: text / outlinks / truncation gate all
+        # from doc_id arithmetic (see q_zip_parse)
+        "zip_parse": """
+WITH d AS (SELECT doc_id AS i, text, doc_id // 8 AS g FROM documents),
+a AS (
+  SELECT g,
+         string_agg('p' || CAST(i AS VARCHAR) || '.txt ' || text
+                    || ' p' || CAST(i AS VARCHAR) || '.html w'
+                    || CAST(i AS VARCHAR) || ' ', '' ORDER BY i) AS text,
+         string_agg('http://l.test/' || CAST(i AS VARCHAR), '|'
+                    ORDER BY i) AS links,
+         string_agg('w' || CAST(i AS VARCHAR), '|' ORDER BY i) AS anchors,
+         COUNT(*) AS n
+  FROM d GROUP BY g)
+SELECT 'http://zips.test/z' || CAST(g AS VARCHAR) || '.zip' AS url,
+       CASE WHEN g % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       '' AS title,
+       CASE WHEN g % 13 = 0 THEN NULL ELSE text END AS text,
+       CASE WHEN g % 13 = 0 THEN '' ELSE links END AS links,
+       CASE WHEN g % 13 = 0 THEN '' ELSE anchors END AS anchors,
+       CAST(CASE WHEN g % 13 = 0 THEN 0 ELSE n END AS INT) AS n_links
+FROM a""",
 
         # parse-feed round trip: every output field is doc_id
         # arithmetic (see q_feed_parse)
