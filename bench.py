@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "dedup_clusters", "ann_ivf", "doc_repetition", "paragraph_dedup",
     "media_image_decode", "media_audio_decode", "media_video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
-    "warc_ingest", "duplicate_spans", "dedup_substrings",
+    "warc_ingest", "feed_parse", "zip_parse",
+    "duplicate_spans", "dedup_substrings",
 ]
 
 
