@@ -824,6 +824,25 @@ def q_nodedumper(spark, sf):
     return linkdb_op.node_dumper(wg["nodedb"], by="inlinks", n=20)
 
 
+def q_link_dumper(spark, sf):
+    """LinkDumper (LinkDumper.java:216-330): webgraph inlinks with the
+    source node's score attached, capped and sorted by from_url. The
+    oracle recomputes the inversion + crawldb-score join (urls absent
+    from the crawldb carry webgraph's 0.0 default)."""
+    db = _crawldb(spark, sf)
+    wg = linkdb_op.webgraph(_edges(spark, sf),
+                            db.select("url", "score"), CFG)
+    out = linkdb_op.link_dumper(wg["outlinkdb"], wg["nodedb"])
+    return out.select(
+        "url",
+        F.size("inlinks").alias("n_inlinks"),
+        F.array_join(F.transform("inlinks", lambda x: x["from_url"]),
+                     "|").alias("inlinks"),
+        F.round(F.aggregate("inlinks", F.lit(0.0),
+                            lambda acc, x: acc + x["score"]),
+                4).alias("score_sum"))
+
+
 def q_score_updater(spark, sf):
     """ScoreUpdater.java:59-63: nodedb scores copied into the crawldb;
     urls absent from the webgraph get score cleared to 0."""
@@ -1036,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
+        "link_dumper": q_link_dumper,
         "score_updater": q_score_updater,
         "segment_merge": q_segment_merge,
         "updatedb_adaptive": q_updatedb_adaptive,
@@ -1886,6 +1906,16 @@ n AS (SELECT COALESCE(o.url, i.url) AS url,
       FROM o FULL OUTER JOIN i ON o.url = i.url)
 SELECT url, in_degree AS inlinks FROM n
 ORDER BY in_degree DESC, url ASC LIMIT 20""",
+
+        "link_dumper": CRAWLDB_CTE + ", " + EDGE_SQL + """,
+e AS (SELECT DISTINCT from_url, to_url FROM edges),
+s AS (SELECT e.from_url, e.to_url, COALESCE(c.score, 0.0) AS score
+      FROM e LEFT JOIN crawldb c ON e.from_url = c.url)
+SELECT to_url AS url,
+       CAST(COUNT(*) AS INT) AS n_inlinks,
+       string_agg(from_url, '|' ORDER BY from_url) AS inlinks,
+       ROUND(SUM(score), 4) AS score_sum
+FROM s GROUP BY to_url""",
 
         "score_updater": CRAWLDB_CTE + ", " + EDGE_SQL + """,
 nodes AS (SELECT from_url AS u FROM edges

@@ -288,6 +288,48 @@ def linkrank(edges: DataFrame, iterations: int = 10,
     return ranks
 
 
+def link_dumper(outlinkdb: DataFrame, nodedb: DataFrame,
+                loops: DataFrame | None = None,
+                max_inlinks: int = 50_000) -> DataFrame:
+    """LinkDumper (LinkDumper.java:216-330): invert the webgraph's
+    outlinkdb to inlinks with the *source* node's score attached, so
+    each url's inlink list can be read with its contributors' ranks.
+
+    Parity mechanisms:
+    - loop exclusion: an edge from→to is dropped when ``to ∈
+      loop_set(from)`` — "same as LinkRank" (LinkDumper.java:273-276);
+    - sources must have outlinks (LinkDumper.java:265-266) — trivially
+      true for outlinkdb rows, kept as the join's semantics;
+    - Merger caps each url at ``link.dumper`` maxInlinks = 50000
+      (LinkDumper.java:296,312-319). The reference keeps the first N
+      in reduce-iteration order (nondeterministic under MapReduce);
+      here the N smallest ``from_url`` win — deterministic,
+      order-independent.
+
+    Returns ``(url, inlinks array<struct<from_url, score>>)`` with the
+    array sorted by from_url. ONE exchange carries the cap window and
+    the groupBy (the same url-repartition trick as
+    :func:`_capped_inlinks`); the nodedb join shuffles only the slim
+    (url, score) projection."""
+    e = outlinkdb.select("from_url", "to_url")
+    if loops is not None:
+        lo = loops.select(F.col("url").alias("from_url"),
+                          F.explode("loop_set").alias("to_url")) \
+            .withColumn("_loop", F.lit(True))
+        e = (e.join(lo, ["from_url", "to_url"], "left")
+             .where(F.col("_loop").isNull()).drop("_loop"))
+    nd = nodedb.select(F.col("url").alias("from_url"), "score")
+    inv = (e.join(nd, "from_url")
+           .select(F.col("to_url").alias("url"), "from_url", "score"))
+    w = Window.partitionBy("url").orderBy("from_url")
+    inv = (inv.repartition("url")
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= max_inlinks).drop("_rn"))
+    return inv.groupBy("url").agg(
+        F.sort_array(F.collect_list(F.struct("from_url", "score")))
+         .alias("inlinks"))
+
+
 def score_updater(crawldb: DataFrame, nodedb: DataFrame) -> DataFrame:
     """ScoreUpdater.java:59-63: copy nodedb scores into the crawldb;
     urls absent from the nodedb get score cleared to 0."""

@@ -190,3 +190,48 @@ def test_loops_route_cap_binds_gracefully_on_hub(spark):
     again = {r.url: set(r.loop_set)
              for r in find_loops(e, max_routes_per_node=5).collect()}
     assert again == capped
+
+
+def test_link_dumper(spark):
+    """LinkDumper: inversion with source scores, loop exclusion (same
+    edge drop as LinkRank), deterministic smallest-from_url cap."""
+    from nutch_spark.operators import linkdb as linkdb_op
+    from nutch_spark.config import DEFAULT
+
+    edges = spark.createDataFrame(
+        [("http://a.test/", "http://b.test/", "x"),
+         ("http://b.test/", "http://a.test/", "x"),   # 2-cycle
+         ("http://c.test/", "http://a.test/", "x"),
+         ("http://d.test/", "http://a.test/", "x")],
+        "from_url string, to_url string, anchor string")
+    scores = spark.createDataFrame(
+        [("http://a.test/", 2.0), ("http://b.test/", 3.0),
+         ("http://c.test/", 5.0)],  # d.test absent -> 0.0 default
+        "url string, score double")
+    wg = linkdb_op.webgraph(edges, scores, DEFAULT)
+    out = {r.url: r.inlinks
+           for r in linkdb_op.link_dumper(
+               wg["outlinkdb"], wg["nodedb"]).collect()}
+    assert [(i.from_url, i.score) for i in out["http://a.test/"]] == [
+        ("http://b.test/", 3.0), ("http://c.test/", 5.0),
+        ("http://d.test/", 0.0)]
+    assert [(i.from_url, i.score) for i in out["http://b.test/"]] == [
+        ("http://a.test/", 2.0)]
+
+    # loop exclusion: drop a<->b edges from the inversion
+    loops = linkdb_op.find_loops(edges.select("from_url", "to_url"),
+                                 depth=2)
+    out2 = {r.url: r.inlinks
+            for r in linkdb_op.link_dumper(
+                wg["outlinkdb"], wg["nodedb"], loops=loops).collect()}
+    assert [i.from_url for i in out2["http://a.test/"]] == [
+        "http://c.test/", "http://d.test/"]
+    assert "http://b.test/" not in out2
+
+    # cap keeps the N smallest from_url, deterministically
+    out3 = {r.url: r.inlinks
+            for r in linkdb_op.link_dumper(
+                wg["outlinkdb"], wg["nodedb"],
+                max_inlinks=2).collect()}
+    assert [i.from_url for i in out3["http://a.test/"]] == [
+        "http://b.test/", "http://c.test/"]
