@@ -99,6 +99,41 @@ edges AS (
 )
 """
 
+# bounded-depth route propagation (Loops.java) over the symmetrized
+# edge set, shared by the loops_detect / loop_reader oracles: pass 1
+# finds reciprocal links, pass 2 (last) finds 3-cycles; routes keep
+# their original first hop. `f` = all (looking_for, first_hop) pairs.
+LOOPS_CTE = "WITH " + EDGE_SQL.replace("edges AS (", """
+base_edges AS (""") + """,
+edges2 AS (
+  SELECT from_url, to_url FROM base_edges
+  UNION
+  SELECT to_url AS from_url, from_url AS to_url
+  FROM base_edges WHERE from_host = 0
+),
+ind AS (SELECT DISTINCT to_url AS u FROM edges2),
+r0 AS (
+  SELECT e.to_url AS at, e.from_url AS lf, e.to_url AS fh
+  FROM edges2 e JOIN ind ON e.from_url = ind.u
+),
+f1 AS (
+  SELECT DISTINCT r0.lf, r0.fh FROM r0
+  JOIN edges2 e ON e.from_url = r0.at AND e.to_url = r0.lf
+),
+r1 AS (
+  SELECT DISTINCT e2.to_url AS at, r0.lf, r0.fh
+  FROM r0 JOIN edges2 e2 ON e2.from_url = r0.at
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges2 ex
+    WHERE ex.from_url = r0.at AND ex.to_url = r0.lf)
+),
+f2 AS (
+  SELECT DISTINCT r1.lf, r1.fh FROM r1
+  JOIN edges2 e ON e.from_url = r1.at AND e.to_url = r1.lf
+),
+f AS (SELECT * FROM f1 UNION SELECT * FROM f2)
+"""
+
 
 def _edges(spark: SparkSession, sf: str) -> DataFrame:
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -843,6 +878,32 @@ def q_link_dumper(spark, sf):
                 4).alias("score_sum"))
 
 
+def q_node_reader(spark, sf):
+    """NodeReader point lookup (NodeReader.java:67-85): one node's
+    degrees plus inlink score (crawldb-joined; absent urls carry
+    webgraph's 0.0 default) and the derived outlink score
+    (Node.java:68). floor-quantized like linkrank so both engines run
+    the identical double arithmetic."""
+    db = _crawldb(spark, sf)
+    wg = linkdb_op.webgraph(_edges(spark, sf),
+                            db.select("url", "score"), CFG)
+    out = linkdb_op.node_reader(wg["nodedb"], "http://host1.test/p1")
+    q = lambda c: (F.floor(F.col(c) * 10000 + 0.5) / 10000).alias(c)
+    return out.select("url", "num_inlinks", "num_outlinks",
+                      q("inlink_score"), q("outlink_score"))
+
+
+def q_loop_reader(spark, sf):
+    """LoopReader point lookup (LoopReader.java:68-90): the loop set
+    of a single url, one row per cycle-forming outlink. The fixture
+    pins the url to the lexicographically-smallest looping url so the
+    choice is deterministic at every SF (the driver-side first() reads
+    one aggregated value — the lookup itself stays distributed)."""
+    loops = linkdb_op.find_loops(_loop_edges(spark, sf), depth=2).cache()
+    url = loops.agg(F.min("url")).first()[0]
+    return linkdb_op.loop_reader(loops, url)
+
+
 def q_score_updater(spark, sf):
     """ScoreUpdater.java:59-63: nodedb scores copied into the crawldb;
     urls absent from the webgraph get score cleared to 0."""
@@ -1056,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
         "link_dumper": q_link_dumper,
+        "node_reader": q_node_reader,
+        "loop_reader": q_loop_reader,
         "score_updater": q_score_updater,
         "segment_merge": q_segment_merge,
         "updatedb_adaptive": q_updatedb_adaptive,
@@ -1111,40 +1174,15 @@ FROM (
   FROM crawldb WHERE fetch_time <= 1000000000000)
 WHERE rn <= 8""",
 
-        # bounded-depth route propagation (Loops.java): pass 1 finds
-        # reciprocal links, pass 2 (last) finds 3-cycles; routes keep
-        # their original first hop
-        "loops_detect": "WITH " + EDGE_SQL.replace("edges AS (", """
-base_edges AS (""") + """,
-edges2 AS (
-  SELECT from_url, to_url FROM base_edges
-  UNION
-  SELECT to_url AS from_url, from_url AS to_url
-  FROM base_edges WHERE from_host = 0
-),
-ind AS (SELECT DISTINCT to_url AS u FROM edges2),
-r0 AS (
-  SELECT e.to_url AS at, e.from_url AS lf, e.to_url AS fh
-  FROM edges2 e JOIN ind ON e.from_url = ind.u
-),
-f1 AS (
-  SELECT DISTINCT r0.lf, r0.fh FROM r0
-  JOIN edges2 e ON e.from_url = r0.at AND e.to_url = r0.lf
-),
-r1 AS (
-  SELECT DISTINCT e2.to_url AS at, r0.lf, r0.fh
-  FROM r0 JOIN edges2 e2 ON e2.from_url = r0.at
-  WHERE NOT EXISTS (
-    SELECT 1 FROM edges2 ex
-    WHERE ex.from_url = r0.at AND ex.to_url = r0.lf)
-),
-f2 AS (
-  SELECT DISTINCT r1.lf, r1.fh FROM r1
-  JOIN edges2 e ON e.from_url = r1.at AND e.to_url = r1.lf
-),
-f AS (SELECT * FROM f1 UNION SELECT * FROM f2)
+        "loops_detect": LOOPS_CTE + """
 SELECT lf AS url, CAST(COUNT(*) AS INTEGER) AS n_loops
 FROM f GROUP BY lf""",
+
+        # point lookup of one loop set; the fixture pins the url to
+        # the lexicographically-smallest looping url on both sides
+        "loop_reader": LOOPS_CTE + """
+SELECT lf AS url, fh AS loop_url FROM f
+WHERE lf = (SELECT MIN(lf) FROM f)""",
 
         # every synthetic host is hostN.test; 'test' is absent from
         # the IANA suffix table, so the reference walk yields domain
@@ -1916,6 +1954,30 @@ SELECT to_url AS url,
        string_agg(from_url, '|' ORDER BY from_url) AS inlinks,
        ROUND(SUM(score), 4) AS score_sum
 FROM s GROUP BY to_url""",
+
+        # NodeReader point lookup: degrees + crawldb-joined score and
+        # the derived outlink score (Node.java:68); same floor
+        # quantization as linkrank (identical double arithmetic on
+        # both engines, no ROUND boundary dependence)
+        "node_reader": CRAWLDB_CTE + ", " + EDGE_SQL + """,
+e AS (SELECT DISTINCT from_url, to_url FROM edges),
+o AS (SELECT from_url AS url, COUNT(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT to_url AS url, COUNT(*) AS in_degree FROM e GROUP BY 1),
+n AS (SELECT COALESCE(o.url, i.url) AS url,
+             COALESCE(in_degree, 0) AS in_degree,
+             COALESCE(out_degree, 0) AS out_degree
+      FROM o FULL OUTER JOIN i ON o.url = i.url),
+ns AS (SELECT n.url, in_degree, out_degree,
+              COALESCE(c.score, 0.0) AS score
+       FROM n LEFT JOIN crawldb c ON n.url = c.url)
+SELECT url,
+       in_degree AS num_inlinks,
+       out_degree AS num_outlinks,
+       FLOOR(score * 10000 + 0.5) / 10000 AS inlink_score,
+       FLOOR((CASE WHEN out_degree > 0 THEN score / out_degree
+                   ELSE score END) * 10000 + 0.5) / 10000
+         AS outlink_score
+FROM ns WHERE url = 'http://host1.test/p1'""",
 
         "score_updater": CRAWLDB_CTE + ", " + EDGE_SQL + """,
 nodes AS (SELECT from_url AS u FROM edges

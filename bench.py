@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "ann_ivf", "doc_repetition", "paragraph_dedup",
     "media_image_decode", "media_audio_decode", "media_video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
-    "warc_ingest", "feed_parse", "zip_parse",
+    "warc_ingest", "feed_parse", "zip_parse", "link_dumper",
     "duplicate_spans", "dedup_substrings",
 ]
 

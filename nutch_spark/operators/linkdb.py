@@ -348,3 +348,31 @@ def node_dumper(nodedb: DataFrame, by: str = "score",
     order = F.asc(col) if asc else F.desc(col)
     return nodedb.orderBy(order, F.asc("url")).limit(n) \
         .select("url", F.col(col).alias(by))
+
+
+def node_reader(nodedb: DataFrame, url: str) -> DataFrame:
+    """NodeReader (NodeReader.java:67-85): point lookup of a single
+    node's info — num inlinks/outlinks plus inlink score and the
+    derived outlink score (Node.java:68: ``inlinkScore / numOutlinks``
+    when the node has outlinks, else the inlink score itself).
+
+    The reference resolves the url against the MapFile partition that
+    HashPartitioner assigns it to; here the equality filter prunes the
+    url-bucketed nodedb to a single bucket's files, so the lookup
+    touches 1/N of the table at any scale."""
+    return nodedb.where(F.col("url") == url).select(
+        "url",
+        F.col("in_degree").alias("num_inlinks"),
+        F.col("out_degree").alias("num_outlinks"),
+        F.col("score").alias("inlink_score"),
+        F.when(F.col("out_degree") > 0,
+               F.col("score") / F.col("out_degree"))
+         .otherwise(F.col("score")).alias("outlink_score"))
+
+
+def loop_reader(loops: DataFrame, url: str) -> DataFrame:
+    """LoopReader (LoopReader.java:68-90): the loop set for a single
+    url, one row per cycle-forming outlink. Same bucket-pruned point
+    lookup as :func:`node_reader`, over :func:`find_loops` output."""
+    return (loops.where(F.col("url") == url)
+            .select("url", F.explode("loop_set").alias("loop_url")))

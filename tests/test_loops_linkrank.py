@@ -235,3 +235,43 @@ def test_link_dumper(spark):
                 max_inlinks=2).collect()}
     assert [i.from_url for i in out3["http://a.test/"]] == [
         "http://b.test/", "http://c.test/"]
+
+
+def test_node_reader_point_lookup(spark):
+    """NodeReader (NodeReader.java:67-85): single-node degrees +
+    scores; outlink score = inlink score / outdegree (Node.java:68)."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.linkdb import node_reader, webgraph
+
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://a.ex/", "http://c.ex/"),
+                       ("http://b.ex/", "http://a.ex/")])
+    scores = spark.createDataFrame(
+        [("http://a.ex/", 2.0)], "url string, score double")
+    wg = webgraph(e, scores, CrawlConfig())
+    row = node_reader(wg["nodedb"], "http://a.ex/").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.num_inlinks, r.num_outlinks) == (1, 2)
+    assert r.inlink_score == 2.0 and r.outlink_score == 1.0
+    # a node with no outlinks keeps its inlink score (Node.java:68)
+    r2 = node_reader(wg["nodedb"], "http://c.ex/").collect()[0]
+    assert r2.num_outlinks == 0 and r2.outlink_score == r2.inlink_score
+    # absent url -> empty result, like a MapFile miss
+    assert node_reader(wg["nodedb"], "http://zz.ex/").count() == 0
+
+
+def test_loop_reader_point_lookup(spark):
+    """LoopReader (LoopReader.java:68-90): one row per loop url of the
+    requested start url only."""
+    from nutch_spark.operators.linkdb import loop_reader
+
+    e = _edges(spark, [("http://a.ex/", "http://b.ex/"),
+                       ("http://b.ex/", "http://a.ex/"),
+                       ("http://b.ex/", "http://c.ex/"),
+                       ("http://c.ex/", "http://b.ex/")])
+    loops = find_loops(e)
+    got = loop_reader(loops, "http://b.ex/").collect()
+    assert {r.loop_url for r in got} == {"http://a.ex/", "http://c.ex/"}
+    assert all(r.url == "http://b.ex/" for r in got)
+    assert loop_reader(loops, "http://zz.ex/").count() == 0
