@@ -36,6 +36,14 @@ from .operators import urlseen
 from . import schema as S
 
 
+def _lineage_rows(lineage: list[dict]) -> int | None:
+    """Total rows from footer lineage, or None when any footer was
+    unreadable (callers fall back to a Spark count)."""
+    if not lineage or any(p["rows"] is None for p in lineage):
+        return None
+    return sum(p["rows"] for p in lineage)
+
+
 class CrawlRun:
     """One crawl over a pages table, checkpointed under ``out_dir``."""
 
@@ -101,6 +109,8 @@ class CrawlRun:
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(tmp)
+        from .storage import partition_lineage
+        self._last_write_rows = _lineage_rows(partition_lineage(tmp))
         return self.spark.read.parquet(tmp)
 
     def _install(self, name: str, rnd: int | None = None) -> DataFrame:
@@ -114,6 +124,7 @@ class CrawlRun:
         old = path + ".old"
         from .storage import partition_lineage
         lineage = partition_lineage(tmp)
+        self._last_write_rows = _lineage_rows(lineage)
         with open(os.path.join(tmp, "_snapshot.json"), "w") as f:
             json.dump({"name": name, "round": rnd, "ts": time.time(),
                        "rows": sum(p["rows"] or 0 for p in lineage),
@@ -190,8 +201,19 @@ class CrawlRun:
     def _stage_crawldb(self, df: DataFrame, rnd: int) -> DataFrame:
         """Durable-but-uncommitted crawldb write for round ``rnd``."""
         if self.db_table is not None:
-            return self.db_table.stage(df, rnd)
+            out = self.db_table.stage(df, rnd)
+            self._last_write_rows = self.db_table.staged_rows(rnd)
+            return out
         return self._write_tmp(df, "crawldb", rnd)
+
+    def _rows_or_count(self, df: DataFrame) -> int:
+        """Row count of the frame just written: read from the write's
+        parquet-footer lineage (zero Spark jobs — the metric counts in
+        the reference come free from the MR framework's counters, and
+        a 10^10-row table is too big to re-scan just for a metric);
+        falls back to a count job when a footer was unreadable."""
+        n = getattr(self, "_last_write_rows", None)
+        return n if n is not None else df.count()
 
     def _commit_crawldb(self, rnd: int) -> DataFrame:
         """Make round ``rnd``'s staged crawldb the committed snapshot —
@@ -224,11 +246,12 @@ class CrawlRun:
         new_db = inject_op.inject(db, seeds, self.cfg, now_ms)
         rnd = max(prev, 0)
         staged = self._stage_crawldb(new_db, rnd)
+        n_db = self._rows_or_count(staged)
         if self.use_bloom:
             # round 1 pre-splits its discoveries against the seed set
             self._write_bloom(staged, rnd)
         out = self._commit_crawldb(rnd)
-        self._metric(rnd, "inject", rows=out.count())
+        self._metric(rnd, "inject", rows=n_db)
         return out
 
     def run_round(self, rnd: int, now_ms: int) -> dict:
@@ -243,7 +266,7 @@ class CrawlRun:
             db, cfg.with_(partition_seed=cfg.partition_seed ^ rnd),
             cur_time_ms=now_ms, gen_time_ms=now_ms)
         fetchlist = self._write(fetchlist, "segments/crawl_generate", rnd)
-        n_fl = fetchlist.count()
+        n_fl = self._rows_or_count(fetchlist)
         self._metric(rnd, "generate", rows=n_fl, sec=time.time() - t0)
         if n_fl == 0:
             return {"fetchlist_rows": 0}
@@ -253,9 +276,9 @@ class CrawlRun:
                             self.http_status, cfg, now_ms)
         crawl_fetch = self._write(fr["crawl_fetch"],
                                   "segments/crawl_fetch", rnd)
+        n_fetched = self._rows_or_count(crawl_fetch)
         content = fr["content"]
         linked_redir = fr["linked"]
-        n_fetched = crawl_fetch.count()
         self._metric(rnd, "fetch", rows=n_fetched, sec=time.time() - t0,
                      partitions=cfg.num_fetch_partitions)
 
@@ -263,10 +286,11 @@ class CrawlRun:
         pr = parse_op.parse_segment(content, cfg, now_ms)
         parse_text = self._write(pr["parse_text"], "segments/parse_text",
                                  rnd)
+        n_parsed = self._rows_or_count(parse_text)
         parse_data = self._write(pr["parse_data"], "segments/parse_data",
                                  rnd)
         crawl_parse = pr["crawl_parse"].unionByName(linked_redir)
-        self._metric(rnd, "parse", rows=parse_text.count(),
+        self._metric(rnd, "parse", rows=n_parsed,
                      sec=time.time() - t0)
 
         # URL-seen bloom pre-split (north rule's partitioned-bloom
@@ -319,7 +343,7 @@ class CrawlRun:
         edges = parse_op.outlink_edges(parse_data)
         ldb = linkdb_op.invert_links(edges, cfg)
         ldb = self._write(ldb, "linkdb", rnd)
-        self._metric(rnd, "invertlinks", rows=ldb.count(),
+        self._metric(rnd, "invertlinks", rows=self._rows_or_count(ldb),
                      sec=time.time() - t0)
 
         # link-analysis scoring (bin/crawl:260-277 — the webgraph →
@@ -349,7 +373,7 @@ class CrawlRun:
         # per round (it used to stage pre- and post-score-update).
         t0 = time.time()
         new_db = self._stage_crawldb(new_db, rnd)
-        n_db = new_db.count()
+        n_db = self._rows_or_count(new_db)
         self._metric(rnd, "updatedb", rows=n_db,
                      sec=t_updatedb + time.time() - t0)
 

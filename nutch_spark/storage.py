@@ -90,6 +90,10 @@ class SnapshotTable:
         digest = hashlib.md5(os.path.abspath(self.dir).encode()) \
             .hexdigest()[:10]
         self._prefix = f"snap_{name}_{digest}"
+        # footer lineage captured at stage() time, consumed by
+        # publish() (and by callers that want the staged row count
+        # without a Spark count job over the just-written files)
+        self._staged_lineage: dict[int, list[dict]] = {}
 
     # --- metadata ------------------------------------------------------
     def _meta_path(self) -> str:
@@ -163,7 +167,17 @@ class SnapshotTable:
             shutil.rmtree(path)
         os.rename(tmp, path)
         self._create_external(tbl, schema, path)
+        self._staged_lineage[snapshot_id] = partition_lineage(path)
         return self.spark.table(tbl)
+
+    def staged_rows(self, snapshot_id: int) -> int | None:
+        """Row count of a snapshot staged THIS session, from the
+        parquet footers captured at stage() time — no Spark job. None
+        when unknown (not staged here, or a footer was unreadable)."""
+        lineage = self._staged_lineage.get(snapshot_id)
+        if not lineage or any(p["rows"] is None for p in lineage):
+            return None
+        return sum(p["rows"] for p in lineage)
 
     def _create_external(self, tbl: str, schema: dict, path: str) -> None:
         st = StructType.fromJson(schema)
@@ -182,7 +196,8 @@ class SnapshotTable:
         checkpoints carry per-partition lineage) and swap the current
         pointer (atomic)."""
         path = os.path.join(self.dir, f"s{snapshot_id}")
-        lineage = partition_lineage(path)
+        lineage = self._staged_lineage.get(snapshot_id) \
+            or partition_lineage(path)
         meta = self._load_meta()
         meta["snapshots"][str(snapshot_id)] = {
             "table": self._table_name(snapshot_id),
