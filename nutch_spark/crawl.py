@@ -83,9 +83,13 @@ class CrawlRun:
         self.db_table = None
         if storage == "bucketed":
             from .storage import SnapshotTable
+            # sort=False: the crawldb is rewritten every round and its
+            # consumers hash-aggregate/filter — per-bucket url order
+            # would be pure write-side sort cost at 10^10 rows
             self.db_table = SnapshotTable(spark, out_dir, "crawldb",
                                           bucket_col="url",
-                                          n_buckets=db_buckets)
+                                          n_buckets=db_buckets,
+                                          sort=False)
         self.metrics: list[dict] = []
 
     # --- checkpoint helpers --------------------------------------------

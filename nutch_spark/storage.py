@@ -79,12 +79,20 @@ class SnapshotTable:
     url-bucketed Spark tables under ``base_dir/name/``."""
 
     def __init__(self, spark: SparkSession, base_dir: str, name: str,
-                 bucket_col: str = "url", n_buckets: int = 32):
+                 bucket_col: str = "url", n_buckets: int = 32,
+                 sort: bool = True):
+        """``sort``: keep each bucket file sorted by the bucket column
+        (Iceberg write-order). Worth it for write-once/join-many
+        tables (pages: the SMJ probe side skips its per-round Sort);
+        pure write-side cost for tables that are rewritten every round
+        and only ever hash-aggregated or filtered (crawldb), which
+        pass ``sort=False``."""
         self.spark = spark
         self.name = name
         self.dir = os.path.join(base_dir, name)
         self.bucket_col = bucket_col
         self.n_buckets = n_buckets
+        self.sort = sort
         # catalog identifiers must be unique per on-disk table (the
         # session catalog is shared across CrawlRuns/tests)
         digest = hashlib.md5(os.path.abspath(self.dir).encode()) \
@@ -152,12 +160,12 @@ class SnapshotTable:
         # EnsureRequirements elides this exchange; otherwise it is the
         # one unavoidable shuffle of a bucketed write (without it every
         # task writes n_buckets files — file-count explosion at scale)
-        (df.repartition(self.n_buckets, self.bucket_col)
-           .write.mode("overwrite")
-           .bucketBy(self.n_buckets, self.bucket_col)
-           .sortBy(self.bucket_col)
-           .option("path", tmp)
-           .saveAsTable(wtbl))
+        w = (df.repartition(self.n_buckets, self.bucket_col)
+               .write.mode("overwrite")
+               .bucketBy(self.n_buckets, self.bucket_col))
+        if self.sort:
+            w = w.sortBy(self.bucket_col)
+        w.option("path", tmp).saveAsTable(wtbl)
         schema = json.loads(self.spark.table(wtbl).schema.json())
         # swap the completed write into place (data is fully on disk;
         # DROP of an external table removes only the catalog entry)
@@ -179,14 +187,17 @@ class SnapshotTable:
             return None
         return sum(p["rows"] for p in lineage)
 
-    def _create_external(self, tbl: str, schema: dict, path: str) -> None:
+    def _create_external(self, tbl: str, schema: dict, path: str,
+                         sort: bool | None = None) -> None:
         st = StructType.fromJson(schema)
         cols = ", ".join(f"{_quote(f.name)} {f.dataType.simpleString()}"
                          for f in st.fields)
         bc = _quote(self.bucket_col)
+        sorted_by = f"SORTED BY ({bc}) " \
+            if (self.sort if sort is None else sort) else ""
         self.spark.sql(
             f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bc}) SORTED BY ({bc}) "
+            f"CLUSTERED BY ({bc}) {sorted_by}"
             f"INTO {self.n_buckets} BUCKETS "
             f"LOCATION '{path}'")
 
@@ -205,6 +216,7 @@ class SnapshotTable:
             "schema": json.loads(df_schema_src.schema.json()),
             "n_buckets": self.n_buckets,
             "bucket_col": self.bucket_col,
+            "sort": self.sort,
             "rows": sum(p["rows"] or 0 for p in lineage),
             "partitions": lineage,
         }
@@ -231,9 +243,10 @@ class SnapshotTable:
             f"{_quote(f.name)} {f.dataType.simpleString()}"
             for f in schema.fields)
         bc = _quote(snap["bucket_col"])
+        sorted_by = f"SORTED BY ({bc}) " if snap.get("sort", True) else ""
         self.spark.sql(
             f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bc}) SORTED BY ({bc}) "
+            f"CLUSTERED BY ({bc}) {sorted_by}"
             f"INTO {snap['n_buckets']} BUCKETS "
             f"LOCATION '{snap['path']}'")
 
