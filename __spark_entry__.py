@@ -834,6 +834,107 @@ def q_crawldb_dump(spark, sf):
                       F.round("score", 4).alias("score"))
 
 
+def _checker_urls(spark, sf):
+    """Deterministic url mix exercising each default regex-urlfilter
+    rule (doc_id % 5: 0 accepted, 1 proto, 2 image ext, 3 query char,
+    4 repeated path segments)."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    h = F.concat(F.lit("host"), (i % 40).cast("string"), F.lit(".test"))
+    p = i.cast("string")
+    return d.select(
+        F.when(i % 5 == 0,
+               F.concat(F.lit("http://"), h, F.lit("/p"), p))
+         .when(i % 5 == 1,
+               F.concat(F.lit("ftp://"), h, F.lit("/p"), p))
+         .when(i % 5 == 2,
+               F.concat(F.lit("http://"), h, F.lit("/img"), p,
+                        F.lit(".png")))
+         .when(i % 5 == 3,
+               F.concat(F.lit("http://"), h, F.lit("/p"), p,
+                        F.lit("?q=1")))
+         .otherwise(
+               F.concat(F.lit("http://"), h, F.lit("/x/y"), p,
+                        F.lit("/x/y"), p, F.lit("/x/")))
+         .alias("url"))
+
+
+def q_filter_checker(spark, sf):
+    """URLFilterChecker (URLFilterChecker.java:50-71): the default
+    regex-urlfilter chain's +/- verdict per url. The oracle knows each
+    fixture url's verdict closed-form (DuckDB's RE2 cannot evaluate
+    the backreference rule, but it doesn't have to — the inputs are
+    constructed per rule)."""
+    from nutch_spark.operators import checkers
+    return checkers.filter_checker(_checker_urls(spark, sf), CFG)
+
+
+def q_normalizer_checker(spark, sf):
+    """URLNormalizerChecker (URLNormalizerChecker.java:49-68):
+    scope=default chain over urls with denormalized scheme/host case,
+    an explicit default port, and a dot-segment path — the expected
+    canonical form is closed-form for the oracle."""
+    from nutch_spark.operators import checkers
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    urls = d.select(
+        F.concat(F.lit("HTTP://HOST"), (i % 40).cast("string"),
+                 F.lit(".TEST:80/a/../p"), i.cast("string")).alias("url"))
+    return checkers.normalizer_checker(urls, CFG, scope="default")
+
+
+def q_dmoz_parse(spark, sf):
+    """REAL DMOZ RDF parsing (tools/DmozParser.java): docs →
+    RDF blobs (closed-form Topic/ExternalPage elements) → element walk
+    with the reference's adult + subset gates (subset_denom=3, Hadoop
+    MD5Hash.hashCode parity — DuckDB reproduces the hash from
+    md5()'s first 8 hex chars)."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    seeds = sources_op.dmoz_to_seeds(
+        sources_op.make_dmoz_blobs(d), subset_denom=3)
+    return seeds
+
+
+def q_file_dumper(spark, sf):
+    """FileDumper (tools/FileDumper.java:134-240): md5-scheme dump
+    paths + magic-byte mime detection, filtered to a mime list. The
+    fixture keys the content type off doc_id (PNG magic / html tag /
+    plain text) so the oracle recomputes mime, path (DuckDB md5 ==
+    Spark md5), and byte counts closed-form."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    url = F.when(
+        i % 5 == 0,
+        F.concat(F.lit("http://host"), (i % 40).cast("string"),
+                 F.lit(".test/img"), i.cast("string"), F.lit(".png"))) \
+        .otherwise(
+        F.concat(F.lit("http://host"), (i % 40).cast("string"),
+                 F.lit(".test/p"), i.cast("string")))
+    body = F.encode("text", "UTF-8")
+    html = F.when(i % 5 == 0,
+                  F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), body)) \
+        .when(i % 2 == 0, F.concat(F.lit(b"<html>"), body)) \
+        .otherwise(body)
+    content = d.select(url.alias("url"), html.alias("html"))
+    return sources_op.file_dumper(
+        content, mime_types=["text/html", "image/png"])
+
+
+def q_cleaning_job(spark, sf):
+    """CleaningJob (CleaningJob.java:66-88): delete requests for
+    db_gone / db_duplicate crawldb rows. The fixture remaps statuses
+    deterministically (doc_id % 10: 3 → gone, 7 → duplicate) since the
+    base crawldb carries neither."""
+    db = _crawldb(spark, sf)
+    key = F.regexp_extract("url", r"p(\d+)$", 1).cast("long")
+    db = db.withColumn(
+        "status",
+        F.when(key % 10 == 3, "db_gone")
+         .when(key % 10 == 7, "db_duplicate")
+         .otherwise(F.col("status")))
+    return readers.cleaning_job(db)
+
+
 def q_crawldb_url(spark, sf):
     """readdb -url point lookup (CrawlDbReader.java:458-476)."""
     out = readers.crawldb_get(_crawldb(spark, sf),
@@ -1113,6 +1214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_threads": q_fetch_politeness_threads,
         "crawldb_dump": q_crawldb_dump,
+        "cleaning_job": q_cleaning_job,
+        "filter_checker": q_filter_checker,
+        "normalizer_checker": q_normalizer_checker,
+        "dmoz_parse": q_dmoz_parse,
+        "file_dumper": q_file_dumper,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -1915,6 +2021,95 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # mime is closed-form from doc_id (png magic / html tag /
+        # plain); path = DumpFileUtil's md5 scheme — dir1=md5[0]+[8],
+        # dir2=md5[16]+[24], {md5}_{base<=32}.{ext<=5}; text/plain
+        # rows fall out of the mime filter
+        "file_dumper": """
+WITH c AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.test/img' || CAST(doc_id AS VARCHAR) || '.png'
+              ELSE 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.test/p' || CAST(doc_id AS VARCHAR)
+         END AS url,
+         CASE WHEN doc_id % 5 = 0 THEN 'image/png'
+              WHEN doc_id % 2 = 0 THEN 'text/html'
+              ELSE 'text/plain' END AS mime_type,
+         CASE WHEN doc_id % 5 = 0 THEN strlen(text) + 8
+              WHEN doc_id % 2 = 0 THEN strlen(text) + 6
+              ELSE strlen(text) END AS n_bytes,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'img' || CAST(doc_id AS VARCHAR)
+              ELSE 'p' || CAST(doc_id AS VARCHAR) END AS base,
+         CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'html' END AS ext
+  FROM documents),
+m AS (SELECT *, md5(url) AS h FROM c)
+SELECT url, mime_type,
+       substr(h, 1, 1) || substr(h, 9, 1) || '/'
+         || substr(h, 17, 1) || substr(h, 25, 1) || '/'
+         || h || '_' || substr(base, 1, 32) || '.' || substr(ext, 1, 5)
+         AS path,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM m WHERE mime_type IN ('text/html', 'image/png')""",
+
+        # the adult gate drops doc_id % 11 == 0; the subset gate is
+        # Hadoop MD5Hash.hashCode parity: first 8 md5 hex chars as a
+        # signed int32, abs, % 3 (q_dmoz_parse uses skew=0 so the xor
+        # is a no-op); description = first 5 space-separated words
+        "dmoz_parse": """
+WITH base AS (
+  SELECT doc_id,
+         'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'Top/Cat' || CAST(doc_id % 7 AS VARCHAR) AS topic,
+         'T' || CAST(doc_id AS VARCHAR) AS title,
+         array_to_string(string_split(text, ' ')[1:5], ' ')
+           AS description
+  FROM documents WHERE doc_id % 11 <> 0),
+hashed AS (
+  SELECT *, CASE WHEN v >= 2147483648 THEN v - 4294967296 ELSE v END
+              AS h
+  FROM (SELECT *, CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT)
+                    AS v
+        FROM base))
+SELECT url, topic, title, description
+FROM hashed WHERE abs(h) % 3 = 0""",
+
+        # verdicts are closed-form per the fixture's rule-keyed url mix
+        "filter_checker": """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.test/p' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'ftp://host' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.test/p' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.test/img' || CAST(doc_id AS VARCHAR) || '.png'
+         WHEN 3 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.test/p' || CAST(doc_id AS VARCHAR) || '?q=1'
+         ELSE 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+              || '.test/x/y' || CAST(doc_id AS VARCHAR)
+              || '/x/y' || CAST(doc_id AS VARCHAR) || '/x/'
+       END AS url,
+       CASE WHEN doc_id % 5 = 0 THEN '+' ELSE '-' END AS verdict
+FROM documents""",
+
+        # the canonical form of the fixture's denormalized urls
+        "normalizer_checker": """
+SELECT 'HTTP://HOST' || CAST(doc_id % 40 AS VARCHAR)
+         || '.TEST:80/a/../p' || CAST(doc_id AS VARCHAR) AS url,
+       'http://host' || CAST(doc_id % 40 AS VARCHAR)
+         || '.test/p' || CAST(doc_id AS VARCHAR) AS normalized
+FROM documents""",
+
+        # status remap mirrors q_cleaning_job's fixture
+        "cleaning_job": CRAWLDB_CTE + """
+SELECT url,
+       CASE WHEN doc_id % 10 = 3 THEN 'gone'
+            ELSE 'duplicate' END AS reason
+FROM crawldb WHERE doc_id % 10 IN (3, 7)""",
 
         "crawldb_dump": CRAWLDB_CTE + """
 SELECT url, status, retries, ROUND(score, 4) AS score

@@ -247,3 +247,22 @@ def indexer_docs(crawldb: DataFrame, linkdb: DataFrame | None,
          else F.pow(F.greatest(F.col("score"), F.lit(0.0)), 0.5))
         .alias("boost"),
         "fetched_at")
+
+
+def cleaning_job(crawldb: DataFrame) -> DataFrame:
+    """CleaningJob (CleaningJob.java:66-88): scan the crawldb for
+    entries with status db_gone (404) or db_duplicate and emit one
+    delete request per url for the index sink.
+
+    The reference's single-reducer delete stream exists only to batch
+    requests toward one Solr endpoint; the scan itself is
+    embarrassingly parallel, so here it stays a distributed filter —
+    a 100 TB crawldb prunes to the two status values at the scan
+    (predicate pushdown) and no collect happens engine-side.
+
+    Returns (url, reason) with reason ∈ {gone, duplicate}."""
+    return (crawldb
+            .where(F.col("status").isin(DB_GONE, DB_DUPLICATE))
+            .select("url",
+                    F.when(F.col("status") == DB_GONE, "gone")
+                     .otherwise("duplicate").alias("reason")))

@@ -198,3 +198,147 @@ def make_warc_blobs(docs: DataFrame, id_col: str = "doc_id",
 
     return docs.select(id_col, text_col).mapInPandas(
         run, "blob_id long, content binary")
+
+
+def dmoz_to_seeds(blobs: DataFrame, subset_denom: int = 1,
+                  hash_skew: int = 0, include_adult: bool = False,
+                  topic_pattern: str | None = None,
+                  content_col: str = "content") -> DataFrame:
+    """DmozParser analog (tools/DmozParser.java): each input row
+    carries one DMOZ ``content.rdf.u8``-style RDF blob; ExternalPage
+    elements become seed rows gated by the reference's three filters —
+    adult section prefix (line 135), topic regex (line 139), and the
+    deterministic ``abs(MD5Hash(url).hashCode() ^ skew) % denom == 0``
+    subset sample (lines 145-148, Hadoop hash parity in
+    :func:`nutch_spark.functions.dmoz.md5_quarter_hash`).
+
+    The reference streams one multi-GB dump through a single SAX
+    parser; here parallelism is per-blob (split the dump into element-
+    aligned chunks upstream), and the element walk runs Arrow-batched
+    on executors. Returns (url, topic, title, description) — feed the
+    url column to the injector as a seed list.
+    """
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import dmoz as D
+
+    pat = _re.compile(topic_pattern) if topic_pattern else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[content_col]:
+                if blob is None:
+                    continue
+                text = (bytes(blob).decode("utf-8", "replace")
+                        if not isinstance(blob, str) else blob)
+                for topic, url, title, desc in D.iter_dmoz_pages(text):
+                    if not include_adult and topic.startswith("Top/Adult"):
+                        continue
+                    if pat is not None and not pat.fullmatch(topic):
+                        continue
+                    if not D.subset_keep(url, subset_denom, hash_skew):
+                        continue
+                    rows.append({"url": url, "topic": topic,
+                                 "title": title, "description": desc})
+            yield pd.DataFrame(rows, columns=[
+                "url", "topic", "title", "description"])
+
+    return blobs.mapInPandas(
+        run, "url string, topic string, title string, description string")
+
+
+def make_dmoz_blobs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    group: int = 32) -> DataFrame:
+    """Derive DMOZ RDF blobs from an id+text table — topic / url /
+    title / description are closed-form functions of the id (topic =
+    Top/Cat{id%7}, except id%11==0 which lands under Top/Adult/X and
+    must be gated; url = the standard host{id%40}/p{id}; title =
+    T{id}; description = first 5 words of text), so
+    :func:`dmoz_to_seeds` output is SQL-predictable. Docs group into
+    blobs of ``group`` pages."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import dmoz as D
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            groups: dict[int, list] = {}
+            for raw, text in zip(pdf[id_col], pdf[text_col]):
+                i = int(raw)
+                topic = (f"Top/Adult/X" if i % 11 == 0
+                         else f"Top/Cat{i % 7}")
+                url = f"http://host{i % 40}.test/p{i}"
+                desc = " ".join(str(text).split()[:5])
+                groups.setdefault(i // group, []).append(
+                    (topic, url, f"T{i}", desc))
+            rows = [{"content": D.encode_dmoz(
+                        sorted(pages)).encode("utf-8")}
+                    for pages in groups.values()]
+            yield pd.DataFrame(rows, columns=["content"])
+
+    return docs.repartition(8, id_col).mapInPandas(run, "content binary")
+
+
+def detect_mime(col: "F.Column") -> "F.Column":
+    """Magic-byte mime sniffer as a JVM column program (FileDumper
+    uses Tika detection — Tika is not in this sandbox, so the sniffer
+    covers the magic numbers of the formats the media/codec modules
+    handle plus the html/plain split; everything else is
+    application/octet-stream)."""
+    h = F.hex(F.substring(col, 1, 4))
+    return (F.when(h.startswith("89504E47"), "image/png")
+             .when(h.startswith("25504446"), "application/pdf")
+             .when(h.startswith("47494638"), "image/gif")
+             .when(h.startswith("FFD8"), "image/jpeg")
+             .when(h.startswith("504B0304"), "application/zip")
+             .when(h.startswith("424D"), "image/bmp")
+             .when(h.startswith("52494646"), "audio/x-wav")
+             .when(h.startswith("3C"), "text/html")
+             .when(F.length(col) > 0, "text/plain")
+             .otherwise("application/octet-stream"))
+
+
+def file_dumper(content: DataFrame, mime_types: list[str] | None = None,
+                mime_stats: bool = False) -> DataFrame:
+    """FileDumper analog (tools/FileDumper.java:134-240): dump segment
+    content as files named by DumpFileUtil's md5 scheme, optionally
+    filtered to a mime-type list.
+
+    - ``mime_stats=True``: the ``-mimeStats`` mode — (mime_type,
+      count) over the (filtered) content, nothing written.
+    - otherwise: one row per kept record with the exact reference path
+      — dir1 = md5[0]+md5[8], dir2 = md5[16]+md5[24], filename =
+      ``{md5}_{basename≤32}.{extension≤5}`` (DumpFileUtil.java:51-85),
+      extension defaulting to ``html`` when the url has none
+      (FileDumper.java:180-185). Returns (url, mime_type, path,
+      n_bytes); the actual byte write is the caller's sink (a
+      DataFrame writer partitioned by dir1/dir2 reproduces the layout
+      without a driver loop).
+
+    Everything is JVM column work (md5, regexes, hex sniffing) — no
+    Python in the path, safe at any scale."""
+    df = content.withColumn("mime_type", detect_mime(F.col("html")))
+    if mime_types is not None:
+        df = df.where(F.col("mime_type").isin(*mime_types))
+    if mime_stats:
+        return df.groupBy("mime_type").agg(F.count("*").alias("count"))
+    leaf = F.element_at(F.split(F.col("url"), "/"), -1)
+    base = F.regexp_replace(leaf, r"\.[^.]*$", "")
+    ext0 = F.regexp_extract(leaf, r"\.([^.]*)$", 1)
+    ext = F.when(ext0 == "", "html").otherwise(ext0)
+    md5 = F.md5(F.col("url").cast("binary"))
+    fname = F.concat(md5, F.lit("_"), F.substring(base, 1, 32),
+                     F.lit("."), F.substring(ext, 1, 5))
+    path = F.concat(
+        F.substring(md5, 1, 1), F.substring(md5, 9, 1), F.lit("/"),
+        F.substring(md5, 17, 1), F.substring(md5, 25, 1), F.lit("/"),
+        fname)
+    return df.select("url", "mime_type", path.alias("path"),
+                     F.length("html").cast("long").alias("n_bytes"))
