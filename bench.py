@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "media_image_decode", "media_audio_decode", "media_video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
     "warc_ingest", "feed_parse", "zip_parse", "link_dumper",
+    "dmoz_parse", "file_dumper",
     "duplicate_spans", "dedup_substrings",
 ]
 

@@ -100,17 +100,30 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
     # rows bypass it entirely (they'd otherwise drag the full message
     # stream through an extra shuffle+sort before the groupBy).
     if cfg.db_update_max_inlinks is not None:
+        cap = cfg.db_update_max_inlinks
         linked = df.where(F.col("_kind") == STATUS_LINKED)
         others = df.where(F.col("_kind") != STATUS_LINKED)
+        # the cap almost never binds (10000 inlink messages to ONE url
+        # in ONE round = a viral page), and the linked stream is the
+        # round's widest frame — so don't sort all of it: a partial-agg
+        # count finds the over-cap urls (at most total/cap — always
+        # broadcastable), the window sorts only their rows, the rest
+        # pass through map-side
+        hot = F.broadcast(
+            linked.groupBy("url").agg(F.count("*").alias("_n"))
+                  .where(F.col("_n") > cap).select("url"))
         # deterministic tie-break: score desc, then newest fetch_time,
         # then signature/modified_time — the partition key itself is
         # constant within the window and cannot break ties
         w = Window.partitionBy("url").orderBy(
             F.desc("score"), F.desc("fetch_time"),
             F.asc("modified_time"), F.asc_nulls_last("signature"))
-        linked = (linked.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") <= cfg.db_update_max_inlinks)
+        capped = (linked.join(hot, "url")
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= cap)
                   .drop("_rn"))
+        linked = linked.join(hot, "url", "left_anti") \
+            .unionByName(capped)
         df = others.unionByName(linked)
 
     is_db = F.col("_kind") == "db"

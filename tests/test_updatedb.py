@@ -284,3 +284,21 @@ def test_join_mode_equals_union_mode(spark):
     assert set(joined) == set(unioned)
     mismatches = [u for u in joined if joined[u] != unioned[u]]
     assert not mismatches, mismatches[:5]
+
+
+def test_inlink_cap_binds_per_url(spark):
+    """db.update.max.inlinks keeps only the top-N linked rows by score
+    per url (InlinkPriorityQueue, CrawlDbReducer.java:57-58,326-339) —
+    exercises the hot-url path of the cap (a url over the cap pays the
+    window; one under it passes through untouched)."""
+    links_hot = [datum("http://hot.ex/", "linked", fetch_time=NOW,
+                       score=s) for s in (0.5, 0.4, 0.3, 0.2, 0.1)]
+    links_cold = [datum("http://cold.ex/", "linked", fetch_time=NOW,
+                        score=0.25)]
+    msgs = crawldb_df(spark, links_hot + links_cold)
+    cfg = DEFAULT.with_(db_update_max_inlinks=2)
+    out = by_url(updatedb(None, msgs, cfg, NOW))
+    # only the two highest-score inlinks contribute (0.5 + 0.4)
+    assert out["http://hot.ex/"]["score"] == pytest.approx(0.9)
+    assert out["http://cold.ex/"]["score"] == pytest.approx(0.25)
+    assert out["http://hot.ex/"]["status"] == "db_unfetched"
