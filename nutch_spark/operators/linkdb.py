@@ -163,21 +163,18 @@ def find_loops(edges: DataFrame, depth: int = 2,
     def _cap_routes(r: DataFrame) -> DataFrame:
         if not max_routes_per_node:
             return r
-        # the cap is a safety valve that almost never binds, so don't
-        # pay a full sort-window over every route per pass: a hash
-        # aggregation finds the over-cap nodes (each carries > cap
-        # routes, so there are at most total/cap of them — always
-        # broadcastable), the window then sorts only their routes and
-        # everything else passes through map-side
-        hot = F.broadcast(
-            r.groupBy("at").agg(F.count("*").alias("_n"))
-             .where(F.col("_n") > max_routes_per_node).select("at"))
+        # the window sort is NOT wasted work even though the cap
+        # rarely binds: its (at, ...) exchange+sort is exactly what
+        # the downstream sort-merge join on `at` needs (the window
+        # order is a prefix extension), so Spark reuses both and the
+        # cap rides the join's shuffle for free. A split-out
+        # hot-node-only window was tried and measured neutral — the
+        # union it needs erases the partitioning and the join re-sorts
+        # everything anyway.
         w = Window.partitionBy("at").orderBy("looking_for", "first_hop")
-        capped = (r.join(hot, "at")
-                  .withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") <= max_routes_per_node)
-                  .drop("_rn"))
-        return r.join(hot, "at", "left_anti").unionByName(capped)
+        return (r.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= max_routes_per_node)
+                 .drop("_rn"))
 
     found_parts = []
     for i in range(depth):
