@@ -79,3 +79,21 @@ def test_resize_nearest_dims_and_range(w, h, tw, th, seed):
     assert out.shape == (th, tw)
     # every output pixel is an actual source pixel
     assert set(np.unique(out)) <= set(np.unique(px))
+
+
+_dmoz_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=30)
+_dmoz_topic = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc"),
+                           blacklist_characters='"'),
+    max_size=20)
+
+
+@given(st.lists(st.tuples(_dmoz_topic, _dmoz_text, _dmoz_text,
+                          _dmoz_text), min_size=1, max_size=8))
+def test_dmoz_roundtrip_any_pages(pages):
+    """encode_dmoz → iter_dmoz_pages is the identity on any
+    (topic, url, title, description) rows, entities included."""
+    from nutch_spark.functions import dmoz as D
+    assert list(D.iter_dmoz_pages(D.encode_dmoz(pages))) == pages
