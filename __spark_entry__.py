@@ -920,6 +920,28 @@ def q_file_dumper(spark, sf):
         content, mime_types=["text/html", "image/png"])
 
 
+def q_parse_dispatch(spark, sf):
+    """ParseUtil mimetype dispatch (parse-plugins.xml,
+    ParseUtil.java:74-110): html / plain / unknown routes — the html
+    route runs the byte-parity extractor (collapsed text, like
+    parse_extract), plain decodes verbatim, unknown mimes fail as
+    parser-not-found. Feed/zip routes are pytest-covered (their blob
+    fixtures live with feed_parse / zip_parse)."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    mime = F.when(i % 3 == 0, "text/html") \
+        .when(i % 3 == 1, "text/plain") \
+        .otherwise("application/octet-stream")
+    content = d.select(
+        _url(i).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        mime.alias("mime_type"))
+    out = parse_op.parse_dispatch(content, CFG, CUR_TIME_MS)
+    return out.select("url", "parser", "status",
+                      F.coalesce("title", F.lit("")).alias("title"),
+                      "text", "n_outlinks")
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1219,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalizer_checker": q_normalizer_checker,
         "dmoz_parse": q_dmoz_parse,
         "file_dumper": q_file_dumper,
+        "parse_dispatch": q_parse_dispatch,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2021,6 +2044,25 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # routes are closed-form from doc_id; the html route's text is
+        # the same whitespace-collapse as parse_extract, plain is
+        # verbatim, unknown mimes carry the ParserNotFound row
+        "parse_dispatch": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'parse-html'
+            WHEN doc_id % 3 = 1 THEN 'text-plain'
+       END AS parser,
+       CASE WHEN doc_id % 3 = 2 THEN 'failed_parser_not_found'
+            ELSE 'success' END AS status,
+       '' AS title,
+       CASE WHEN doc_id % 3 = 0
+              THEN REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')
+            WHEN doc_id % 3 = 1 THEN text
+       END AS text,
+       0 AS n_outlinks
+FROM documents""",
 
         # mime is closed-form from doc_id (png magic / html tag /
         # plain); path = DumpFileUtil's md5 scheme — dir1=md5[0]+[8],

@@ -243,3 +243,92 @@ def outlink_edges(parse_data: DataFrame,
                   F.col("l.anchor").alias("anchor"))
           .where(F.col("to_url") != F.col("from_url")))
     return df
+
+
+# parse-plugins.xml mimetype -> parser routing (conf/parse-plugins.xml;
+# the reference's ParserFactory resolves the ordered plugin list per
+# content-type, ParseUtil.java:74-110 tries them until one succeeds).
+# Parsers implemented here: parse-html, feed, parse-zip, text-plain
+# (parse-tika's text extraction for text/* is the trivial decode).
+PARSE_ROUTES = {
+    "html": ("text/html", "application/xhtml+xml"),
+    "feed": ("application/rss+xml", "application/atom+xml"),
+    "zip": ("application/zip",),
+    "text": ("text/plain",),
+}
+
+
+def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
+                   mime_col: str = "mime_type") -> DataFrame:
+    """ParseUtil/ParserFactory analog: route content rows to the
+    parser registered for their mimetype (conf/parse-plugins.xml,
+    ParseUtil.java:74-110) and union the results on a common summary
+    schema ``(url, parser, status, title, text, n_outlinks)``.
+
+    - text/html, application/xhtml+xml → the HtmlParser path
+      (byte-parity DOMContentUtils extraction);
+    - application/rss+xml, application/atom+xml → the feed plugin
+      (one row per entry + one per feed, like its ParseResult);
+    - application/zip → the parse-zip container walk;
+    - text/plain → trivial decode (title '', no outlinks);
+    - anything else → one ``failed_parser_not_found`` row
+      (ParserNotFound, ParseUtil.java:80-86).
+
+    Spark shape: one filtered scan per registered parser family (the
+    mime predicate pushes to the scan; each family's parser is a
+    different kernel — html UDF, feed/zip mapInPandas — so a
+    single-pass dispatch is not expressible). Unknown-mime rows cost a
+    fifth slim scan that never touches the page bytes."""
+    mime = F.lower(F.coalesce(F.col(mime_col), F.lit("")))
+
+    outs = []
+    html = content.where(mime.isin(*PARSE_ROUTES["html"]))
+    p = html.withColumn("_p", parse_udf()(F.col("html"), F.col("url")))
+    outs.append(p.select(
+        "url", F.lit("parse-html").alias("parser"),
+        F.lit("success").alias("status"),
+        F.col("_p.title").alias("title"),
+        F.col("_p.text").alias("text"),
+        F.size(F.coalesce(F.col("_p.outlinks"), F.array()))
+         .alias("n_outlinks")))
+
+    from . import feed as feed_op
+    feeds = (content.where(mime.isin(*PARSE_ROUTES["feed"]))
+             .select(F.col("url").alias("feed_url"),
+                     F.col("html").alias("content")))
+    fp = feed_op.parse_feeds(feeds, cfg)
+    outs.append(fp.select(
+        F.col("url"), F.lit("feed").alias("parser"),
+        F.lit("success").alias("status"),
+        "title", "text",
+        F.lit(0).cast("int").alias("n_outlinks")))
+
+    from . import archive as archive_op
+    zips = (content.where(mime.isin(*PARSE_ROUTES["zip"]))
+            .select("url", F.col("html").alias("content")))
+    zp = archive_op.parse_zips(zips, cfg, length_col=None)
+    outs.append(zp.select(
+        "url", F.lit("parse-zip").alias("parser"), "status", "title",
+        "text",
+        F.size(F.coalesce(F.col("outlinks"), F.array()))
+         .alias("n_outlinks")))
+
+    outs.append(content.where(mime.isin(*PARSE_ROUTES["text"])).select(
+        "url", F.lit("text-plain").alias("parser"),
+        F.lit("success").alias("status"),
+        F.lit("").alias("title"),
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        F.lit(0).cast("int").alias("n_outlinks")))
+
+    known = [m for ms in PARSE_ROUTES.values() for m in ms]
+    outs.append(content.where(~mime.isin(*known)).select(
+        "url", F.lit(None).cast("string").alias("parser"),
+        F.lit("failed_parser_not_found").alias("status"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(0).cast("int").alias("n_outlinks")))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

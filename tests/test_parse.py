@@ -177,3 +177,49 @@ def test_outlink_edges(spark, fixture):
     edges = outlink_edges(pr["parse_data"])
     assert edges.columns == ["from_url", "to_url", "anchor"]
     assert edges.count() > 0
+
+
+def test_parse_dispatch_routes(spark):
+    """ParseUtil/parse-plugins.xml routing (ParseUtil.java:74-110):
+    html → DOMContentUtils extraction, rss → feed plugin, zip →
+    container walk, plain → verbatim decode, unknown → ParserNotFound
+    row."""
+    import io
+    import zipfile
+
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.parse import parse_dispatch
+
+    rss = (b'<?xml version="1.0"?><rss version="2.0"><channel>'
+           b'<title>F</title><link>http://f.ex/</link>'
+           b'<item><title>E1</title><link>http://f.ex/e1</link>'
+           b'<description>d1</description></item>'
+           b'</channel></rss>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "zipped words")
+    rows = [
+        ("http://a.ex/h", b"<html><head><title>T</title></head>"
+                          b"<body>hello   world</body></html>",
+         "text/html"),
+        ("http://a.ex/f", rss, "application/rss+xml"),
+        ("http://a.ex/z", buf.getvalue(), "application/zip"),
+        ("http://a.ex/t", b"plain  text", "text/plain"),
+        ("http://a.ex/x", b"\x00\x01", "application/pdf"),
+    ]
+    content = spark.createDataFrame(
+        [(u, bytearray(b), m) for u, b, m in rows],
+        "url string, html binary, mime_type string")
+    out = parse_dispatch(content, CrawlConfig(), 0)
+    got = {(r.url, r.parser): r for r in out.collect()}
+    h = got[("http://a.ex/h", "parse-html")]
+    assert h.status == "success" and "hello world" in h.text
+    # feed route: one entry row (keyed by entry link) + one feed row
+    assert ("http://f.ex/e1", "feed") in got
+    assert ("http://a.ex/f", "feed") in got
+    z = got[("http://a.ex/z", "parse-zip")]
+    assert z.status == "success" and "zipped words" in z.text
+    t = got[("http://a.ex/t", "text-plain")]
+    assert t.text == "plain  text" and t.title == ""
+    x = got[("http://a.ex/x", None)]
+    assert x.status == "failed_parser_not_found"
