@@ -942,6 +942,42 @@ def q_parse_dispatch(spark, sf):
                       "text", "n_outlinks")
 
 
+def _metatag_content(spark, sf):
+    """HTML with closed-form meta tags + headings per doc_id."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>T</title>'
+              '<meta name="keywords" content="k'), s,
+        F.lit('"><meta name="Description" content="d'), s,
+        F.lit('"><meta http-equiv="refresh" content="5">'
+              '</head><body><h1> H1a  '), s,
+        F.lit(' </h1><h2>H2 '), s,
+        F.lit('</h2><h1>H1b</h1>'), F.col("text"),
+        F.lit('</body></html>'))
+    return d.select(_url(i).alias("url"),
+                    F.encode(html, "UTF-8").alias("html"))
+
+
+def q_parse_metatags(spark, sf):
+    """parse-metatags (MetaTagsParser.java:39-96): name-filtered
+    multimap with lowercased metatag. keys — Description keeps its
+    content under metatag.description; the unlisted http-equiv row is
+    dropped by the metatags.names filter."""
+    out = parse_op.parse_metatags(
+        _metatag_content(spark, sf), names=("keywords", "description"))
+    return out
+
+
+def q_parse_headings(spark, sf):
+    """headings plugin (HeadingsParseFilter.java:43-103): first
+    non-empty heading per configured tag, whitespace collapsed; the
+    second h1 is dropped (multivalued=false default)."""
+    return parse_op.parse_headings(
+        _metatag_content(spark, sf), tags=("h1", "h2"))
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1242,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmoz_parse": q_dmoz_parse,
         "file_dumper": q_file_dumper,
         "parse_dispatch": q_parse_dispatch,
+        "parse_metatags": q_parse_metatags,
+        "parse_headings": q_parse_headings,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2044,6 +2082,34 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # two rows per doc: the name-filtered, lowercased multimap
+        "parse_metatags": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'metatag.keywords' AS key, 0 AS pos,
+       'k' || CAST(doc_id AS VARCHAR) AS value
+FROM documents
+UNION ALL
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'metatag.description' AS key, 0 AS pos,
+       'd' || CAST(doc_id AS VARCHAR) AS value
+FROM documents""",
+
+        # first heading per tag, whitespace collapsed; second h1 dropped
+        "parse_headings": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'h1' AS tag, 0 AS pos,
+       'H1a ' || CAST(doc_id AS VARCHAR) AS heading
+FROM documents
+UNION ALL
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'h2' AS tag, 0 AS pos,
+       'H2 ' || CAST(doc_id AS VARCHAR) AS heading
+FROM documents""",
 
         # routes are closed-form from doc_id; the html route's text is
         # the same whitespace-collapse as parse_extract, plain is

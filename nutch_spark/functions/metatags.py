@@ -1,0 +1,100 @@
+"""parse-metatags + headings plugin analogs.
+
+Reference:
+- ``parse-metatags`` (MetaTagsParser.java:39-96): every ``<meta>``
+  whose name (case-insensitive) is in ``metatags.names`` (default
+  ``*`` = all) adds ``metatag.<lowercased-name> -> content`` to the
+  parse metadata — a multimap (repeated tags append). http-equiv
+  metas are collected the same way.
+- ``headings`` (HeadingsParseFilter.java:43-103): for each configured
+  heading tag (``headings`` property, e.g. h1/h2), collect the
+  headings' text in document order; with ``headings.multivalued``
+  false (default) only the FIRST non-empty heading per tag is kept.
+  Text is the element's concatenated text content, whitespace
+  collapsed.
+
+Both run on the same stdlib HTMLParser walk used by the main
+extractor; charset detection is shared (``detect_charset``).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .htmlparse import detect_charset
+
+_WS = re.compile(r"\s+")
+_HEADING_TAGS = frozenset(f"h{i}" for i in range(1, 7))
+
+
+class _MetaHeadingWalker(HTMLParser):
+    def __init__(self, heading_tags: frozenset[str]):
+        super().__init__(convert_charrefs=True)
+        self.heading_tags = heading_tags
+        self.metas: list[tuple[str, str]] = []
+        self.headings: dict[str, list[str]] = {}
+        self._open: str | None = None
+        self._frags: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "meta":
+            name = (a.get("name") or a.get("http-equiv") or "").strip()
+            content = a.get("content")
+            if name and content is not None:
+                self.metas.append((name.lower(), content))
+            return
+        if tag in self.heading_tags:
+            self._open = tag
+            self._frags = []
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if self._open and tag == self._open:
+            text = _WS.sub(" ", " ".join(self._frags)).strip()
+            if text:
+                self.headings.setdefault(self._open, []).append(text)
+            self._open = None
+            self._frags = []
+
+    def handle_data(self, data):
+        if self._open is not None:
+            self._frags.append(data)
+
+
+def _walk(html: bytes,
+          heading_tags: frozenset[str] = _HEADING_TAGS
+          ) -> _MetaHeadingWalker:
+    w = _MetaHeadingWalker(heading_tags)
+    try:
+        w.feed(html.decode(detect_charset(html), "replace"))
+        w.close()
+    except Exception:
+        pass
+    return w
+
+
+def extract_metatags(html: bytes,
+                     names: tuple[str, ...] = ("*",)) -> dict:
+    """``metatag.<name> -> [values...]`` per MetaTagsParser.java:65-96
+    (multimap: repeated tags append in document order)."""
+    keep_all = "*" in names
+    keep = {n.lower() for n in names}
+    out: dict[str, list[str]] = {}
+    for name, content in _walk(html).metas:
+        if keep_all or name in keep:
+            out.setdefault("metatag." + name, []).append(content)
+    return out
+
+
+def extract_headings(html: bytes, tags: tuple[str, ...] = ("h1", "h2"),
+                     multivalued: bool = False) -> dict:
+    """``<tag> -> [headings...]`` per HeadingsParseFilter.java:43-66;
+    first non-empty heading only unless ``multivalued``."""
+    wanted = frozenset(t.lower() for t in tags)
+    got = _walk(html, wanted).headings
+    return {t: (v if multivalued else v[:1])
+            for t, v in got.items() if t in wanted}

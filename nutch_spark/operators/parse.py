@@ -332,3 +332,64 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def parse_metatags(content: DataFrame,
+                   names: tuple[str, ...] = ("*",)) -> DataFrame:
+    """parse-metatags plugin (MetaTagsParser.java:39-96): collect
+    ``<meta>`` name/http-equiv + content pairs into the parse metadata
+    multimap, keys prefixed ``metatag.`` and lowercased, filtered by
+    ``metatags.names`` (default ``*`` = all). Returns exploded rows
+    ``(url, key, pos, value)`` — ``pos`` is the document-order index
+    within a repeated tag (the reference's Metadata.add multimap)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import metatags as M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                tags = M.extract_metatags(
+                    bytes(html) if html is not None else b"", names)
+                for key, values in tags.items():
+                    for pos, v in enumerate(values):
+                        rows.append({"url": url, "key": key,
+                                     "pos": pos, "value": v})
+            yield pd.DataFrame(rows, columns=["url", "key", "pos",
+                                              "value"])
+
+    return content.select("url", "html").mapInPandas(
+        run, "url string, key string, pos int, value string")
+
+
+def parse_headings(content: DataFrame,
+                   tags: tuple[str, ...] = ("h1", "h2"),
+                   multivalued: bool = False) -> DataFrame:
+    """headings plugin (HeadingsParseFilter.java:43-103): first (or
+    all, with ``headings.multivalued``) heading text per configured
+    tag, whitespace-collapsed. Returns ``(url, tag, pos, heading)``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import metatags as M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                got = M.extract_headings(
+                    bytes(html) if html is not None else b"",
+                    tags, multivalued)
+                for tag, values in got.items():
+                    for pos, v in enumerate(values):
+                        rows.append({"url": url, "tag": tag,
+                                     "pos": pos, "heading": v})
+            yield pd.DataFrame(rows, columns=["url", "tag", "pos",
+                                              "heading"])
+
+    return content.select("url", "html").mapInPandas(
+        run, "url string, tag string, pos int, heading string")

@@ -223,3 +223,37 @@ def test_parse_dispatch_routes(spark):
     assert t.text == "plain  text" and t.title == ""
     x = got[("http://a.ex/x", None)]
     assert x.status == "failed_parser_not_found"
+
+
+def test_parse_metatags_and_headings(spark):
+    """parse-metatags multimap + name filter (MetaTagsParser.java:
+    65-96) and headings first-per-tag (HeadingsParseFilter.java:43-66)."""
+    from nutch_spark.operators.parse import parse_headings, parse_metatags
+
+    html = (b"<html><head>"
+            b'<meta name="Keywords" content="a,b">'
+            b'<meta name="keywords" content="c">'
+            b'<meta http-equiv="Content-Type" content="text/html">'
+            b'<meta name="author" content="x">'
+            b"</head><body><h1>First  H1</h1><h2>Sub</h2>"
+            b"<h1>Second H1</h1></body></html>")
+    content = spark.createDataFrame(
+        [("http://a.ex/", bytearray(html))], "url string, html binary")
+
+    all_tags = {(r.key, r.pos): r.value
+                for r in parse_metatags(content).collect()}
+    # repeated names append in document order, keys lowercased
+    assert all_tags[("metatag.keywords", 0)] == "a,b"
+    assert all_tags[("metatag.keywords", 1)] == "c"
+    assert all_tags[("metatag.content-type", 0)] == "text/html"
+    # names filter keeps only the listed tags
+    only = {r.key for r in parse_metatags(
+        content, names=("author",)).collect()}
+    assert only == {"metatag.author"}
+
+    h = {(r.tag, r.pos): r.heading
+         for r in parse_headings(content).collect()}
+    assert h == {("h1", 0): "First H1", ("h2", 0): "Sub"}
+    multi = {(r.tag, r.pos): r.heading
+             for r in parse_headings(content, multivalued=True).collect()}
+    assert multi[("h1", 1)] == "Second H1"
