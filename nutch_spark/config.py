@@ -138,6 +138,11 @@ class CrawlConfig:
     scoring_depth_enabled: bool = False
     scoring_depth_max: int = 1000             # scoring.depth.max
 
+    # --- urlmeta plugin (URLMetaScoringFilter.java) ---
+    # metadata keys propagated from a parent's crawldb datum to its
+    # outlinks' linked rows (urlmeta.tags; empty = plugin off)
+    urlmeta_tags: tuple[str, ...] = ()
+
     # --- signatures (TextProfileSignature.java:72-75) ---
     signature_kind: str = "md5"               # md5 | text_md5 | text_profile
     text_profile_min_token_len: int = 2

@@ -172,6 +172,14 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
         F.lit("_anchor_"),
         F.substring(F.coalesce(F.col("link.anchor"), F.lit("")),
                     1, cfg.db_max_anchor_length))
+    if cfg.urlmeta_tags:
+        # urlmeta plugin (URLMetaScoringFilter.java:60-83,
+        # distributeScoreToOutlinks): the listed parent metadata keys
+        # ride along to every outlink's linked row
+        link_meta = F.map_concat(
+            link_meta,
+            F.map_filter(F.coalesce(F.col("metadata"), empty_map),
+                         lambda k, v: k.isin(*cfg.urlmeta_tags)))
     if cfg.scoring_depth_enabled:
         depth = F.coalesce(
             F.element_at(F.coalesce(F.col("metadata"), empty_map),

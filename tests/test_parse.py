@@ -257,3 +257,33 @@ def test_parse_metatags_and_headings(spark):
     multi = {(r.tag, r.pos): r.heading
              for r in parse_headings(content, multivalued=True).collect()}
     assert multi[("h1", 1)] == "Second H1"
+
+
+def test_urlmeta_tags_propagate_to_outlinks(spark):
+    """urlmeta plugin (URLMetaScoringFilter.java:60-83): listed parent
+    metadata keys ride to outlink linked rows; unlisted keys do not."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.parse import parse_segment
+
+    html = b'<html><body><a href="http://b.ex/x">x</a></body></html>'
+    content = spark.createDataFrame(
+        [("http://a.ex/", bytearray(html), "x", "en", 1000, 1.0, 3600,
+          {"campaign": "c1", "other": "y"})],
+        "url string, html binary, text string, lang string, "
+        "fetch_time long, score double, fetch_interval int, "
+        "metadata map<string,string>")
+    cfg = CrawlConfig(urlmeta_tags=("campaign",),
+                      db_ignore_internal_links=False)
+    pr = parse_segment(content, cfg, 0)
+    linked = [r for r in pr["crawl_parse"].collect()
+              if r.status == "linked"]
+    assert len(linked) == 1
+    meta = dict(linked[0].metadata)
+    assert meta["campaign"] == "c1"
+    assert "other" not in meta and "_anchor_" in meta
+    # plugin off by default: no propagation
+    pr0 = parse_segment(content, CrawlConfig(
+        db_ignore_internal_links=False), 0)
+    l0 = [r for r in pr0["crawl_parse"].collect()
+          if r.status == "linked"][0]
+    assert "campaign" not in dict(l0.metadata)
