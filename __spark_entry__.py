@@ -978,6 +978,23 @@ def q_parse_headings(spark, sf):
         _metatag_content(spark, sf), tags=("h1", "h2"))
 
 
+def q_similarity_score(spark, sf):
+    """scoring-similarity (CosineSimilarityModel.java:48-143): cosine
+    of each doc's TF vector against the gold standard, stopworded.
+    TF sums are integers (exact in doubles, order-independent), so the
+    quantized cosine hash-matches DuckDB."""
+    from nutch_spark.operators.similarity import similarity_scores
+    d = _docs(spark, sf)
+    docs = d.select(_url(F.col("doc_id")).alias("url"), "text")
+    out = similarity_scores(
+        docs, gold_text="spark table row filter data",
+        stopwords=("the", "a"))
+    return out.select(
+        "url",
+        (F.floor(F.col("score") * 1000000 + 0.5) / 1000000)
+        .alias("score"))
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1280,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dispatch": q_parse_dispatch,
         "parse_metatags": q_parse_metatags,
         "parse_headings": q_parse_headings,
+        "similarity_score": q_similarity_score,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2082,6 +2100,35 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # gold = 'spark table row filter data' (5 terms, tf 1 each,
+        # norm sqrt(5)); same tokenization, stopwords ('the','a'),
+        # integer TF sums so the cosine is engine-independent
+        "similarity_score": """
+WITH d AS (
+  SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents),
+tok AS (
+  SELECT url, t AS term FROM (
+    SELECT url, unnest(string_split_regex(
+        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+        '\\s+')) AS t
+    FROM d)
+  WHERE t <> '' AND t NOT IN ('the', 'a')),
+tf AS (SELECT url, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+gold AS (SELECT * FROM (VALUES ('spark', 1), ('table', 1), ('row', 1),
+                               ('filter', 1), ('data', 1)) g(term, gtf)),
+agg AS (
+  SELECT url,
+         SUM(tf * COALESCE(gtf, 0)) AS dot,
+         SQRT(SUM(tf * tf)) AS norm
+  FROM tf LEFT JOIN gold USING (term) GROUP BY url)
+SELECT d.url,
+       FLOOR(CASE WHEN COALESCE(agg.norm, 0) * SQRT(5) = 0 THEN 0.0
+                  ELSE agg.dot / (agg.norm * SQRT(5)) END
+             * 1000000 + 0.5) / 1000000 AS score
+FROM d LEFT JOIN agg ON d.url = agg.url""",
 
         # two rows per doc: the name-filtered, lowercased multimap
         "parse_metatags": """
