@@ -995,6 +995,41 @@ def q_similarity_score(spark, sf):
         .alias("score"))
 
 
+def q_parse_reltags(spark, sf):
+    """microformats-reltag (RelTagParser.java:61-135): rel-tag hrefs'
+    URL-decoded last path segments, set semantics; the plain link and
+    the rel="nofollow" link contribute nothing."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a rel="tag" href="http://t.ex/tags/Cat'),
+        (i % 7).cast("string"),
+        F.lit('">c</a><a rel="tag" href="/t/Topic%20'),
+        (i % 3).cast("string"),
+        F.lit('">t</a><a href="http://x.ex/">x</a>'
+              '<a rel="nofollow" href="http://y.ex/tags/No">n</a>'
+              '</body></html>'))
+    content = d.select(_url(i).alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+    return parse_op.parse_reltags(content)
+
+
+def q_index_replace(spark, sf):
+    """index-replace (ReplaceIndexer.java:41-200): ordered, scoped
+    regex replacements on doc fields — urlmatch-scoped rule first,
+    then an unscoped one; Java replaceAll = all occurrences."""
+    from nutch_spark.operators.indexing_filters import index_replace
+    db = _crawldb(spark, sf)
+    docs = db.select("url", F.concat(F.lit("T"),
+                     F.regexp_extract("url", r"p(\d+)$", 1))
+             .alias("title"), "status")
+    out = index_replace(docs, [
+        ("urlmatch", r"[02468]$", [("title", "^T", "X")]),
+        (None, None, [("title", "1", "one")]),
+    ])
+    return out.select("url", "title", "status")
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1298,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_metatags": q_parse_metatags,
         "parse_headings": q_parse_headings,
         "similarity_score": q_similarity_score,
+        "parse_reltags": q_parse_reltags,
+        "index_replace": q_index_replace,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2100,6 +2137,32 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # two tags per doc: last path segment, URL-decoded; the plain
+        # and nofollow links contribute nothing
+        "parse_reltags": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'Cat' || CAST(doc_id % 7 AS VARCHAR) AS tag
+FROM documents
+UNION ALL
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'Topic ' || CAST(doc_id % 3 AS VARCHAR) AS tag
+FROM documents""",
+
+        # rule 1 only on even-digit-final urls; rule 2 everywhere;
+        # replaceAll semantics -> 'g'
+        "index_replace": CRAWLDB_CTE + """
+SELECT url,
+       regexp_replace(
+         CASE WHEN url SIMILAR TO '.*[02468]'
+              THEN regexp_replace('T' || CAST(doc_id AS VARCHAR),
+                                  '^T', 'X', 'g')
+              ELSE 'T' || CAST(doc_id AS VARCHAR) END,
+         '1', 'one', 'g') AS title,
+       status
+FROM crawldb""",
 
         # gold = 'spark table row filter data' (5 terms, tf 1 each,
         # norm sqrt(5)); same tokenization, stopwords ('the','a'),

@@ -34,6 +34,7 @@ class _MetaHeadingWalker(HTMLParser):
         self.heading_tags = heading_tags
         self.metas: list[tuple[str, str]] = []
         self.headings: dict[str, list[str]] = {}
+        self.reltag_hrefs: list[str] = []
         self._open: str | None = None
         self._frags: list[str] = []
 
@@ -44,6 +45,12 @@ class _MetaHeadingWalker(HTMLParser):
             content = a.get("content")
             if name and content is not None:
                 self.metas.append((name.lower(), content))
+            return
+        if tag == "a":
+            # microformat rel-tag (RelTagParser.java:101-107):
+            # rel="tag", case-insensitive exact match
+            if (a.get("rel") or "").lower() == "tag" and a.get("href"):
+                self.reltag_hrefs.append(a["href"])
             return
         if tag in self.heading_tags:
             self._open = tag
@@ -98,3 +105,24 @@ def extract_headings(html: bytes, tags: tuple[str, ...] = ("h1", "h2"),
     got = _walk(html, wanted).headings
     return {t: (v if multivalued else v[:1])
             for t, v in got.items() if t in wanted}
+
+
+def extract_reltags(html: bytes) -> list[str]:
+    """microformats-reltag (RelTagParser.java:95-135): for every
+    ``<a rel="tag" href=...>``, the tag is the URL-decoded last path
+    segment of the href; set semantics, document order of first
+    occurrence."""
+    from urllib.parse import unquote, urlparse
+
+    out: list[str] = []
+    seen = set()
+    for href in _walk(html).reltag_hrefs:
+        try:
+            path = urlparse(href).path
+        except ValueError:
+            continue
+        tag = unquote(path[path.rfind("/") + 1:])
+        if tag and tag not in seen:
+            seen.add(tag)
+            out.append(tag)
+    return out

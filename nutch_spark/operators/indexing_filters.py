@@ -297,6 +297,43 @@ FILTERS = {
 }
 
 
+def index_replace(doc: DataFrame, rules,
+                  cfg: CrawlConfig | None = None) -> DataFrame:
+    """index-replace plugin (ReplaceIndexer.java:41-200): ordered
+    regex replacements on indexed field values, scoped by hostmatch /
+    urlmatch patterns. ``rules`` is a sequence of
+    ``(scope_kind, scope_pattern, replacements)`` where scope_kind is
+    ``"hostmatch"`` / ``"urlmatch"`` / ``None`` (all docs) and
+    replacements is ``[(field, regexp, replacement), ...]`` — the
+    property-file form ``fieldname=/regexp/replacement/`` with the
+    preceding host/urlmatch line as the scope. Rules apply in order to
+    docs whose host/url matches (Java Matcher.replaceAll semantics =
+    Spark regexp_replace, all occurrences); fields absent from the doc
+    are skipped like the reference\'s missing NutchField. Pure JVM
+    column program."""
+    from ..functions.urls import host_col
+
+    for scope_kind, scope_pat, reps in rules:
+        if scope_kind == "hostmatch":
+            cond = F.coalesce(host_col(F.col("url")), F.lit("")) \
+                .rlike(scope_pat)
+        elif scope_kind == "urlmatch":
+            cond = F.col("url").rlike(scope_pat)
+        elif scope_kind is None:
+            cond = F.lit(True)
+        else:
+            raise ValueError(f"unknown scope kind {scope_kind!r}")
+        for field, rx, repl in reps:
+            if field not in doc.columns:
+                continue
+            doc = doc.withColumn(
+                field,
+                F.when(cond & F.col(field).isNotNull(),
+                       F.regexp_replace(F.col(field), rx, repl))
+                 .otherwise(F.col(field)))
+    return doc
+
+
 def apply_indexing_filters(doc: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Chain the configured plugins in order (IndexingFilters.java:40-60,
     ``indexingfilter.order``). Unknown names raise — a silently skipped

@@ -401,3 +401,27 @@ def parse_headings(content: DataFrame,
 
     return content.select("url", "html").mapInPandas(
         run, "url string, tag string, pos int, heading string")
+
+
+def parse_reltags(content: DataFrame) -> DataFrame:
+    """microformats-reltag plugin (RelTagParser.java:61-135): per doc,
+    the set of rel-tag microformat tags — the URL-decoded last path
+    segment of every ``<a rel="tag">`` href. Returns exploded
+    ``(url, tag)`` rows (the reference's Rel-Tag metadata set)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import metatags as M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for tag in M.extract_reltags(
+                        bytes(html) if html is not None else b""):
+                    rows.append({"url": url, "tag": tag})
+            yield pd.DataFrame(rows, columns=["url", "tag"])
+
+    return content.select("url", "html").mapInPandas(
+        run, "url string, tag string")

@@ -200,3 +200,25 @@ def test_index_geoip_is_broadcast_hash_join(spark):
     # equi-join on the /16 bucket, never a nested-loop range scan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_replace_scoped_ordered(spark):
+    """index-replace (ReplaceIndexer.java): hostmatch/urlmatch scope
+    the following replacements; rules apply in order; missing fields
+    and null values are skipped."""
+    from nutch_spark.operators.indexing_filters import index_replace
+
+    docs = spark.createDataFrame(
+        [("http://a.com/x", "Hello World", None),
+         ("http://b.org/y", "Hello Blob", "k")],
+        "url string, title string, keywords string")
+    out = {r.url: r for r in index_replace(docs, [
+        ("hostmatch", r".*\.com", [("title", "Hello", "Howdy")]),
+        (None, None, [("title", "o", "0")]),
+        ("urlmatch", r".*zzz", [("keywords", ".*", "never")]),
+        (None, None, [("missing_field", "x", "y")]),
+    ]).collect()}
+    assert out["http://a.com/x"].title == "H0wdy W0rld"
+    assert out["http://b.org/y"].title == "Hell0 Bl0b"
+    assert out["http://a.com/x"].keywords is None
+    assert out["http://b.org/y"].keywords == "k"

@@ -287,3 +287,21 @@ def test_urlmeta_tags_propagate_to_outlinks(spark):
     l0 = [r for r in pr0["crawl_parse"].collect()
           if r.status == "linked"][0]
     assert "campaign" not in dict(l0.metadata)
+
+
+def test_parse_reltags(spark):
+    """microformats-reltag: rel='tag' (case-insensitive) hrefs only,
+    last path segment URL-decoded, set semantics
+    (RelTagParser.java:95-135)."""
+    from nutch_spark.operators.parse import parse_reltags
+
+    html = (b'<html><body>'
+            b'<a rel="tag" href="http://t.ex/tags/Python">p</a>'
+            b'<a rel="TAG" href="/t/Machine%20Learning">m</a>'
+            b'<a rel="tag" href="http://t.ex/tags/Python">dup</a>'
+            b'<a href="http://t.ex/tags/NotTagged">n</a>'
+            b'</body></html>')
+    content = spark.createDataFrame(
+        [("http://a.ex/", bytearray(html))], "url string, html binary")
+    tags = sorted(r.tag for r in parse_reltags(content).collect())
+    assert tags == ["Machine Learning", "Python"]
