@@ -1030,6 +1030,42 @@ def q_index_replace(spark, sf):
     return out.select("url", "title", "status")
 
 
+def q_nb_outlink_filter(spark, sf):
+    """parsefilter-naivebayes (NaiveBayesParseFilter.java:40-190):
+    NB-classified pages; irrelevant ones keep only wordlist-matching
+    outlinks. Page text alternates two constant vocabularies by
+    doc_id so the classification — and therefore the surviving
+    outlink count — is closed-form for the oracle; the NB math itself
+    is pytest-verified (tests/test_nbfilter.py)."""
+    from nutch_spark.operators.nbfilter import (
+        naive_bayes_outlink_filter, train_naive_bayes)
+    train = spark.createDataFrame(
+        [("1", "spark table data shuffle partition"),
+         ("1", "spark data join agg"),
+         ("0", "football game score goal"),
+         ("0", "game referee goal match")],
+        "label string, text string")
+    model = train_naive_bayes(train)
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    links = F.array(
+        F.struct(F.lit("http://x.ex/topic-hub").alias("to_url"),
+                 F.lit("a").alias("anchor")),
+        F.struct(F.lit("http://y.ex/misc").alias("to_url"),
+                 F.lit("b").alias("anchor")))
+    pd_ = d.select(_url(i).alias("url"), links.alias("outlinks"))
+    pt = d.select(
+        _url(i).alias("url"),
+        F.when(i % 2 == 0, "spark shuffle data table")
+         .otherwise("football goal game").alias("text"))
+    out = naive_bayes_outlink_filter(pd_, pt, model,
+                                     wordlist=("topic",))
+    return out.select(
+        "url", F.size("outlinks").alias("n_outlinks"),
+        F.array_join(F.transform("outlinks", lambda o: o["to_url"]),
+                     "|").alias("links"))
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1335,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_score": q_similarity_score,
         "parse_reltags": q_parse_reltags,
         "index_replace": q_index_replace,
+        "nb_outlink_filter": q_nb_outlink_filter,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2137,6 +2174,17 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # even docs classify relevant (keep both links), odd classify
+        # irrelevant (keep only the wordlist match)
+        "nb_outlink_filter": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_outlinks,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'http://x.ex/topic-hub|http://y.ex/misc'
+            ELSE 'http://x.ex/topic-hub' END AS links
+FROM documents""",
 
         # two tags per doc: last path segment, URL-decoded; the plain
         # and nofollow links contribute nothing
