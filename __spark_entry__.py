@@ -1066,6 +1066,31 @@ def q_nb_outlink_filter(spark, sf):
                      "|").alias("links"))
 
 
+def q_cc_license(spark, sf):
+    """creativecommons plugin (CCParseFilter.java:56-150): license
+    detection precedence keyed by doc_id — rdf comment (id%4==0),
+    rel=license anchor (1), plain CC anchor (2), none (3, no row)."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    lic = F.concat(F.lit("http://creativecommons.org/licenses/by/"),
+                   (i % 3).cast("string"), F.lit(".0/"))
+    html = F.when(i % 4 == 0, F.concat(
+        F.lit('<html><head><!-- <rdf:RDF xmlns:cc="x"><cc:Work>'
+              '<cc:license rdf:resource="'), lic,
+        F.lit('"/></cc:Work></rdf:RDF> --></head><body>b</body></html>'))) \
+        .when(i % 4 == 1, F.concat(
+            F.lit('<html><body><a rel="license" href="'), lic,
+            F.lit('">cc</a></body></html>'))) \
+        .when(i % 4 == 2, F.concat(
+            F.lit('<html><body><a href="'), lic,
+            F.lit('">cc</a></body></html>'))) \
+        .otherwise(F.lit('<html><body><a href="http://x.ex/">n</a>'
+                         '</body></html>'))
+    content = d.select(_url(i).alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+    return parse_op.parse_cc_license(content)
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1372,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_reltags": q_parse_reltags,
         "index_replace": q_index_replace,
         "nb_outlink_filter": q_nb_outlink_filter,
+        "cc_license": q_cc_license,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2174,6 +2200,16 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # detection location by doc_id%4; %4==3 pages emit no row
+        "cc_license": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'http://creativecommons.org/licenses/by/'
+         || CAST(doc_id % 3 AS VARCHAR) || '.0/' AS license_url,
+       CASE doc_id % 4 WHEN 0 THEN 'rdf' WHEN 1 THEN 'rel'
+                       ELSE 'a' END AS license_location
+FROM documents WHERE doc_id % 4 <> 3""",
 
         # even docs classify relevant (keep both links), odd classify
         # irrelevant (keep only the wordlist match)

@@ -35,8 +35,13 @@ class _MetaHeadingWalker(HTMLParser):
         self.metas: list[tuple[str, str]] = []
         self.headings: dict[str, list[str]] = {}
         self.reltag_hrefs: list[str] = []
+        self.anchors: list[tuple[str, str]] = []  # (rel, href)
+        self.comments: list[str] = []
         self._open: str | None = None
         self._frags: list[str] = []
+
+    def handle_comment(self, data):
+        self.comments.append(data)
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -47,6 +52,8 @@ class _MetaHeadingWalker(HTMLParser):
                 self.metas.append((name.lower(), content))
             return
         if tag == "a":
+            if a.get("href") is not None:
+                self.anchors.append((a.get("rel") or "", a["href"]))
             # microformat rel-tag (RelTagParser.java:101-107):
             # rel="tag", case-insensitive exact match
             if (a.get("rel") or "").lower() == "tag" and a.get("href"):
@@ -126,3 +133,54 @@ def extract_reltags(html: bytes) -> list[str]:
             seen.add(tag)
             out.append(tag)
     return out
+
+
+_RDF_LICENSE = re.compile(
+    r'<rdf:RDF\b.*?cc:license\s+rdf:resource\s*=\s*"([^"]+)"', re.S | re.I)
+
+
+def extract_cc_license(html: bytes,
+                       base_url: str = "") -> tuple[str, str] | None:
+    """creativecommons plugin (CCParseFilter.java:56-150): the page's
+    CC license url + where it was found, by the reference's
+    precedence —
+
+    1. ``rdf``: an RDF block (the CC-recommended HTML-comment
+       embedding) carrying ``cc:license rdf:resource`` (simplified
+       from the reference's namespace-aware cc:Work walk: the license
+       resource is read with a regex over comment bodies);
+    2. ``rel``: the first ``<a rel="license">`` whose base-resolved
+       href is ``http://creativecommons.org/licenses/...``
+       (rel must equal "license" exactly, lines 139-141);
+    3. ``a``: the first plain anchor pointing at such a license URL.
+
+    Returns (license_url, location) or None."""
+    from urllib.parse import urljoin, urlparse
+
+    w = _walk(html)
+    for comment in w.comments:
+        m = _RDF_LICENSE.search(comment)
+        if m:
+            return m.group(1), "rdf"
+
+    rel_hit = anchor_hit = None
+    for rel, href in w.anchors:
+        try:
+            u = urljoin(base_url, href.strip())
+            p = urlparse(u)
+        except ValueError:
+            continue
+        if (p.scheme.lower() != "http"
+                or p.hostname != "creativecommons.org"
+                or not p.path.startswith("/licenses/")
+                or len(p.path) <= len("/licenses/")):
+            continue
+        if rel == "license" and rel_hit is None:
+            rel_hit = u
+        elif anchor_hit is None:
+            anchor_hit = u
+    if rel_hit:
+        return rel_hit, "rel"
+    if anchor_hit:
+        return anchor_hit, "a"
+    return None

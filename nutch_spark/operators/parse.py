@@ -425,3 +425,32 @@ def parse_reltags(content: DataFrame) -> DataFrame:
 
     return content.select("url", "html").mapInPandas(
         run, "url string, tag string")
+
+
+def parse_cc_license(content: DataFrame) -> DataFrame:
+    """creativecommons plugin (CCParseFilter.java:56-150): per page,
+    the CC license url and where it was found (rdf-in-comment >
+    rel=license anchor > plain CC anchor), resolved against the page
+    url. Pages without a license emit no row (the reference adds
+    metadata only when found). Returns
+    (url, license_url, license_location)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions import metatags as M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                hit = M.extract_cc_license(
+                    bytes(html) if html is not None else b"", url or "")
+                if hit is not None:
+                    rows.append({"url": url, "license_url": hit[0],
+                                 "license_location": hit[1]})
+            yield pd.DataFrame(rows, columns=[
+                "url", "license_url", "license_location"])
+
+    return content.select("url", "html").mapInPandas(
+        run, "url string, license_url string, license_location string")

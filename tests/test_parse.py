@@ -305,3 +305,40 @@ def test_parse_reltags(spark):
         [("http://a.ex/", bytearray(html))], "url string, html binary")
     tags = sorted(r.tag for r in parse_reltags(content).collect())
     assert tags == ["Machine Learning", "Python"]
+
+
+def test_cc_license_precedence(spark):
+    """creativecommons plugin (CCParseFilter.java:56-150): rdf comment
+    beats rel=license beats plain anchor; non-CC and short /licenses/
+    urls rejected; hrefs resolve against the page url."""
+    from nutch_spark.operators.parse import parse_cc_license
+
+    cc = b'http://creativecommons.org/licenses/by-nc/2.0/'
+    rows = [
+        ("http://a.ex/", b'<html><head><!-- <rdf:RDF x>'
+         b'<cc:Work><cc:license rdf:resource="RDF-LIC"/></cc:Work>'
+         b'</rdf:RDF> --></head><body>'
+         b'<a rel="license" href="' + cc + b'">c</a></body></html>'),
+        ("http://b.ex/", b'<html><body><a href="' + cc + b'">p</a>'
+         b'<a rel="license" href="' + cc + b'">r</a></body></html>'),
+        ("http://c.ex/", b'<html><body><a href="' + cc + b'">p</a>'
+         b'</body></html>'),
+        ("http://creativecommons.org/x",
+         b'<html><body><a href="/licenses/by/3.0/">rel</a>'
+         b'</body></html>'),
+        ("http://d.ex/", b'<html><body>'
+         b'<a href="http://creativecommons.org/licenses/">short</a>'
+         b'<a href="https://other.org/licenses/by/2.0/">no</a>'
+         b'</body></html>'),
+    ]
+    content = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows], "url string, html binary")
+    got = {r.url: (r.license_url, r.license_location)
+           for r in parse_cc_license(content).collect()}
+    assert got["http://a.ex/"] == ("RDF-LIC", "rdf")
+    assert got["http://b.ex/"][1] == "rel"
+    assert got["http://c.ex/"][1] == "a"
+    # relative href resolved against the page's own host
+    assert got["http://creativecommons.org/x"] == (
+        "http://creativecommons.org/licenses/by/3.0/", "a")
+    assert "http://d.ex/" not in got
