@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "media_image_decode", "media_audio_decode", "media_video_frames",
     "pii_scrub", "stratified_sample", "decontaminate",
     "warc_ingest", "feed_parse", "zip_parse", "link_dumper",
-    "dmoz_parse", "file_dumper",
+    "dmoz_parse", "file_dumper", "parse_dispatch",
+    "similarity_score", "nb_outlink_filter", "cc_license",
     "duplicate_spans", "dedup_substrings",
 ]
 
