@@ -1091,6 +1091,23 @@ def q_cc_license(spark, sf):
     return parse_op.parse_cc_license(content)
 
 
+def q_js_links(spark, sf):
+    """parse-js (JSParseFilter.java:150-260): three closed-form
+    candidates per doc — an absolute url with &amp; to unescape, a
+    www.-prefixed host, and a relative path that resolves against the
+    page url; the no-dot-no-slash string yields nothing."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    js = F.concat(
+        F.lit('var a = "http://x.ex/p?a='), s,
+        F.lit('&amp;b=2"; var b = \'www.ex'), (i % 5).cast("string"),
+        F.lit('.com/path\'; var c = "doc'), s,
+        F.lit('.html"; var d = "justaword";'))
+    content = d.select(_url(i).alias("url"), js.alias("script"))
+    return parse_op.parse_js_links(content)
+
+
 def q_cleaning_job(spark, sf):
     """CleaningJob (CleaningJob.java:66-88): delete requests for
     db_gone / db_duplicate crawldb rows. The fixture remaps statuses
@@ -1398,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_replace": q_index_replace,
         "nb_outlink_filter": q_nb_outlink_filter,
         "cc_license": q_cc_license,
+        "js_links": q_js_links,
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
         "nodedumper": q_nodedumper,
@@ -2200,6 +2218,23 @@ SELECT url, 'fetch_success' AS status, queue_id,
                          ELSE uh END ASC, url ASC) - 1) / 3.0) * 1000
             AS BIGINT) AS virtual_time
 FROM h""",
+
+        # three rows per doc: &amp; unescape, www. prefix, relative
+        # resolve (the base path's last segment is replaced)
+        "js_links": """
+WITH d AS (SELECT doc_id,
+                  'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.test/p' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+SELECT url, 'http://x.ex/p?a=' || CAST(doc_id AS VARCHAR) || '&b=2'
+         AS to_url FROM d
+UNION ALL
+SELECT url, 'http://www.ex' || CAST(doc_id % 5 AS VARCHAR)
+         || '.com/path' AS to_url FROM d
+UNION ALL
+SELECT url, 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+         || '.test/doc' || CAST(doc_id AS VARCHAR) || '.html'
+         AS to_url FROM d""",
 
         # detection location by doc_id%4; %4==3 pages emit no row
         "cc_license": """

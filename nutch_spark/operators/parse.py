@@ -454,3 +454,27 @@ def parse_cc_license(content: DataFrame) -> DataFrame:
 
     return content.select("url", "html").mapInPandas(
         run, "url string, license_url string, license_location string")
+
+
+def parse_js_links(content: DataFrame,
+                   script_col: str = "script") -> DataFrame:
+    """parse-js plugin (JSParseFilter.java:150-260): outlinks mined
+    from JavaScript bodies — quoted whitespace-free strings that look
+    like URIs, www.-prefixed or base-resolved against the page url.
+    Returns exploded (url, to_url) rows in match order."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.jsparse import extract_js_links
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, script in zip(pdf["url"], pdf[script_col]):
+                for to_url in extract_js_links(script or "", url or ""):
+                    rows.append({"url": url, "to_url": to_url})
+            yield pd.DataFrame(rows, columns=["url", "to_url"])
+
+    return content.select("url", script_col).mapInPandas(
+        run, "url string, to_url string")

@@ -342,3 +342,20 @@ def test_cc_license_precedence(spark):
     assert got["http://creativecommons.org/x"] == (
         "http://creativecommons.org/licenses/by/3.0/", "a")
     assert "http://d.ex/" not in got
+
+
+def test_parse_js_links(spark):
+    """parse-js (JSParseFilter.java:182-260): quoted URI-looking
+    strings only; www. prefix, base resolution, &amp; unescape."""
+    from nutch_spark.operators.parse import parse_js_links
+
+    js = ('var a = "http://x.ex/p?a=1&amp;b=2";'
+          "var b = 'www.example.com/path';"
+          'var c = "/rel/doc.html"; var d = "justaword";'
+          'var e = "has space.com not matched";')
+    content = spark.createDataFrame(
+        [("http://base.ex/dir/page", js)], "url string, script string")
+    got = [r.to_url for r in parse_js_links(content).collect()]
+    assert got == ["http://x.ex/p?a=1&b=2",
+                   "http://www.example.com/path",
+                   "http://base.ex/rel/doc.html"]
