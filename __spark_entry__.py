@@ -997,8 +997,9 @@ def q_similarity_score(spark, sf):
 
 def q_parse_reltags(spark, sf):
     """microformats-reltag (RelTagParser.java:61-135): rel-tag hrefs'
-    URL-decoded last path segments, set semantics; the plain link and
-    the rel="nofollow" link contribute nothing."""
+    URL-decoded last path segments, TreeSet semantics; the relative
+    href (parseTag's `new URL` throws), the plain link and the
+    rel="nofollow" link contribute nothing."""
     d = _docs(spark, sf)
     i = F.col("doc_id")
     html = F.concat(
@@ -1028,6 +1029,57 @@ def q_index_replace(spark, sf):
         (None, None, [("title", "1", "one")]),
     ])
     return out.select("url", "title", "status")
+
+
+def q_parse_replace(spark, sf):
+    """parse-replace (ReplaceParser.java:35-74 documented intent; the
+    reference ships the filter as an inert skeleton — see the operator
+    docstring): hostmatch-scoped + unscoped regex replacements on
+    parse-stage title/text, before indexing sees them. replaceAll =
+    all occurrences."""
+    from nutch_spark.operators.parse import parse_replace
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    fields = d.select(
+        _url(i).alias("url"),
+        F.concat(F.lit("Title "), i.cast("string")).alias("title"),
+        F.substring(F.col("text"), 1, 80).alias("text"))
+    out = parse_replace(fields, [
+        ("hostmatch", r"^host[0-9]\.test$", [("title", "^Title", "H")]),
+        (None, None, [("text", r"\d", "#")]),
+    ])
+    return out.select("url", "title", "text")
+
+
+def q_urlmeta_outlinks(spark, sf):
+    """urlmeta plugin (URLMetaScoringFilter.java:60-83,
+    distributeScoreToOutlinks): the configured parent metadata keys
+    ride to every outlink's linked row; unlisted keys are dropped.
+    One absolute external outlink per doc so the linked url and its
+    inherited campaign tag are closed-form."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="http://t.ex/c'),
+        i.cast("string"), F.lit('">go</a></body></html>'))
+    content = d.select(
+        _url(i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("x").alias("text"), F.lit("en").alias("lang"),
+        F.lit(FETCH_TIME_MS).cast("long").alias("fetch_time"),
+        F.lit(1.0).alias("score"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        F.map_from_arrays(
+            F.array(F.lit("campaign"), F.lit("other")),
+            F.array(F.concat(F.lit("c"), (i % 5).cast("string")),
+                    F.lit("zzz"))).alias("metadata"))
+    cfg = CrawlConfig(urlmeta_tags=("campaign",))
+    pr = parse_op.parse_segment(content, cfg, CUR_TIME_MS)
+    linked = pr["crawl_parse"].where(F.col("status") == "linked")
+    return linked.select(
+        "url",
+        F.element_at("metadata", "campaign").alias("campaign"),
+        F.element_at("metadata", "other").alias("other"))
 
 
 def q_nb_outlink_filter(spark, sf):
@@ -1359,69 +1411,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordering IS the verification budget: the driver's
+    correctness gate checks only the FIRST 50 entries, so queries that
+    have never had a driver-green row — plus any whose module changed
+    this round — go in FRONT, and multi-round-stable greens rotate to
+    the back. (Round-4 lesson: appending new queries past slot 50
+    left 12 oracle-backed operators driver-unverified.)"""
     return {
-        "generate_topn": q_generate_topn,
-        "generate_hostcap": q_generate_hostcap,
-        "inject_new": q_inject_new,
-        "inject_merge": q_inject_merge,
-        "updatedb_fetch": q_updatedb_fetch,
-        "updatedb_linked": q_updatedb_linked,
-        "dedup_mark": q_dedup_mark,
-        "crawldb_stats": q_crawldb_stats,
-        "crawldb_topn": q_crawldb_topn,
-        "domain_stats": q_domain_stats,
-        "linkdb_invert": q_linkdb_invert,
-        "generate_segments": q_generate_segments,
-        "loops_detect": q_loops_detect,
-        "domain_stats_domain": q_domain_stats_domain,
-        "webgraph_degrees": q_webgraph_degrees,
-        "crawldb_merge": q_crawldb_merge,
-        "indexer_docs": q_indexer_docs,
-        "indexer_deletes": q_indexer_deletes,
-        "indexer_filters": q_indexer_filters,
-        "indexer_geoip": q_indexer_geoip,
-        "parse_extract": q_parse_extract,
-        "doc_tokens": q_doc_tokens,
-        "doc_quality": q_doc_quality,
-        "doc_langid": q_doc_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_repetition": q_doc_repetition,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "decontaminate": q_decontaminate,
-        "duplicate_spans": q_duplicate_spans,
-        "dedup_substrings": q_dedup_substrings,
-        "warc_ingest": q_warc_ingest,
-        "feed_parse": q_feed_parse,
-        "zip_parse": q_zip_parse,
-        "ann_topk": q_ann_topk,
-        "events_hourly": q_events_hourly,
-        "fetch_politeness": q_fetch_politeness,
-        "fetch_politeness_threads": q_fetch_politeness_threads,
-        "crawldb_dump": q_crawldb_dump,
-        "cleaning_job": q_cleaning_job,
-        "filter_checker": q_filter_checker,
-        "normalizer_checker": q_normalizer_checker,
-        "dmoz_parse": q_dmoz_parse,
-        "file_dumper": q_file_dumper,
-        "parse_dispatch": q_parse_dispatch,
-        "parse_metatags": q_parse_metatags,
-        "parse_headings": q_parse_headings,
+        # -- never driver-checked before round 5 (r04 slots 51+) -----
         "similarity_score": q_similarity_score,
         "parse_reltags": q_parse_reltags,
         "index_replace": q_index_replace,
         "nb_outlink_filter": q_nb_outlink_filter,
         "cc_license": q_cc_license,
         "js_links": q_js_links,
-        "crawldb_url": q_crawldb_url,
-        "readlinkdb": q_readlinkdb,
-        "nodedumper": q_nodedumper,
         "link_dumper": q_link_dumper,
         "node_reader": q_node_reader,
         "loop_reader": q_loop_reader,
+        # real decode kernels (BMP/WAV/Y4M) over derived fixtures —
+        # oracle-checked end-to-end (encode → decode → features)
+        "media_image_decode": q_image_features,
+        "media_audio_decode": q_audio_features,
+        "media_video_frames": q_video_frames,
+        # -- new in round 5 -------------------------------------------
+        "parse_replace": q_parse_replace,
+        "urlmeta_outlinks": q_urlmeta_outlinks,
+        # -- module changed since last driver-green row ---------------
+        "linkrank": q_linkrank,
+        # -- r03 greens that rotated out of the r04 window ------------
+        "crawldb_url": q_crawldb_url,
+        "readlinkdb": q_readlinkdb,
+        "nodedumper": q_nodedumper,
         "score_updater": q_score_updater,
         "segment_merge": q_segment_merge,
         "updatedb_adaptive": q_updatedb_adaptive,
@@ -1429,12 +1449,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "embedding_neardup_exact": q_embedding_neardup_exact,
-        "linkrank": q_linkrank,
-        # real decode kernels (BMP/WAV/Y4M) over derived fixtures —
-        # oracle-checked end-to-end (encode → decode → features)
-        "media_image_decode": q_image_features,
-        "media_audio_decode": q_audio_features,
-        "media_video_frames": q_video_frames,
+        # -- single-round greens (r04 first-timers) + touched modules -
+        "updatedb_fetch": q_updatedb_fetch,
+        "updatedb_linked": q_updatedb_linked,
+        "parse_dispatch": q_parse_dispatch,
+        "parse_metatags": q_parse_metatags,
+        "parse_headings": q_parse_headings,
+        "feed_parse": q_feed_parse,
+        "zip_parse": q_zip_parse,
+        "dmoz_parse": q_dmoz_parse,
+        "file_dumper": q_file_dumper,
+        "cleaning_job": q_cleaning_job,
+        "filter_checker": q_filter_checker,
+        "normalizer_checker": q_normalizer_checker,
+        "indexer_filters": q_indexer_filters,
+        "indexer_geoip": q_indexer_geoip,
+        "warc_ingest": q_warc_ingest,
+        "crawldb_dump": q_crawldb_dump,
+        "fetch_politeness": q_fetch_politeness,
+        "fetch_politeness_threads": q_fetch_politeness_threads,
+        "generate_hostcap": q_generate_hostcap,
+        "generate_segments": q_generate_segments,
+        "loops_detect": q_loops_detect,
+        "dedup_clusters": q_dedup_clusters,
+        "linkdb_invert": q_linkdb_invert,
+        "webgraph_degrees": q_webgraph_degrees,
+        "dedup_substrings": q_dedup_substrings,
+        # ==== driver slot 50 boundary ends here ======================
+        # -- multi-round-stable greens (r03+r04), rotated out ---------
+        "generate_topn": q_generate_topn,
+        "inject_new": q_inject_new,
+        "inject_merge": q_inject_merge,
+        "dedup_mark": q_dedup_mark,
+        "crawldb_stats": q_crawldb_stats,
+        "crawldb_topn": q_crawldb_topn,
+        "domain_stats": q_domain_stats,
+        "domain_stats_domain": q_domain_stats_domain,
+        "crawldb_merge": q_crawldb_merge,
+        "indexer_docs": q_indexer_docs,
+        "indexer_deletes": q_indexer_deletes,
+        "parse_extract": q_parse_extract,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "doc_repetition": q_doc_repetition,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
         # rows-only (non-SQL-expressible LSH recall); each has an
         # exact oracle-checked sibling or a recall test
         # (tests/test_approx_recall.py) pinning its quality
@@ -2257,17 +2324,14 @@ SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
             ELSE 'http://x.ex/topic-hub' END AS links
 FROM documents""",
 
-        # two tags per doc: last path segment, URL-decoded; the plain
-        # and nofollow links contribute nothing
+        # one tag per doc: last path segment of the absolute rel-tag
+        # href, URL-decoded; the relative '/t/Topic%20N' href is
+        # skipped (reference parseTag's `new URL` throws on it), and
+        # the plain and nofollow links contribute nothing
         "parse_reltags": """
 SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
          || CAST(doc_id AS VARCHAR) AS url,
        'Cat' || CAST(doc_id % 7 AS VARCHAR) AS tag
-FROM documents
-UNION ALL
-SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
-         || CAST(doc_id AS VARCHAR) AS url,
-       'Topic ' || CAST(doc_id % 3 AS VARCHAR) AS tag
 FROM documents""",
 
         # rule 1 only on even-digit-final urls; rule 2 everywhere;
@@ -2282,6 +2346,25 @@ SELECT url,
          '1', 'one', 'g') AS title,
        status
 FROM crawldb""",
+
+        # rule 1 (title) only on single-digit hosts host0..host9;
+        # rule 2 (text digits -> '#') everywhere, all occurrences
+        "parse_replace": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 40 < 10
+            THEN 'H ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS title,
+       regexp_replace(substring(text, 1, 80), '\\d', '#', 'g') AS text
+FROM documents""",
+
+        # one linked row per doc at the outlink target; campaign rides
+        # along (urlmeta), 'other' is not configured so it is dropped
+        "urlmeta_outlinks": """
+SELECT 'http://t.ex/c' || CAST(doc_id AS VARCHAR) AS url,
+       'c' || CAST(doc_id % 5 AS VARCHAR) AS campaign,
+       CAST(NULL AS VARCHAR) AS other
+FROM documents""",
 
         # gold = 'spark table row filter data' (5 terms, tf 1 each,
         # norm sqrt(5)); same tokenization, stopwords ('the','a'),

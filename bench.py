@@ -226,6 +226,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_once(name), 3)
+
+    def cycle_sample():
+        """One (crawl_cycle, crawlrun_cycle) sample behind the same
+        block-manager hygiene the heavy re-passes get, so a cycle
+        sample never pays for another pass's accumulated state."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        a, ua = crawl_cycle(spark, SF_DIR)
+        b, ub = crawlrun_cycle(spark, SF_DIR)
+        return a, b, ua, ub
+
     # noise control: on this shared VM a single sample can land in a
     # 2-3x-slow host window (canary-documented in BENCH.md), so the
     # snapshot must carry interleaved min-of-N for the expensive
@@ -234,21 +245,22 @@ def main() -> None:
     # separated time windows and queue position decorrelates from
     # host drift. Clear cached blocks + cycle the JVM GC per pass so
     # late queries are not also paying for accumulated block-manager
-    # state.
+    # state. The two cycle metrics are min-of-3 INTERLEAVED with the
+    # heavy passes (before / between / after) rather than run last:
+    # r04's crawl_cycle regression was an end-of-suite host-drift
+    # artifact — the cycle samples all sat in the same final time
+    # window (VERDICT r04 "What's wrong" #2).
+    cyc_sec, cr_sec, cyc_urls, cr_urls = cycle_sample()
     heavy = [n for n in BENCH_QUERIES if timings[n] > 3.0]
     for rep in range(2):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         for name in (reversed(heavy) if rep else heavy):
             timings[name] = round(min(timings[name], run_once(name)), 3)
-
-    cyc_sec, cyc_urls = crawl_cycle(spark, SF_DIR)
-    cyc2, _ = crawl_cycle(spark, SF_DIR)
-    cyc_sec = min(cyc_sec, cyc2)
+        a, b, _, _ = cycle_sample()
+        cyc_sec = min(cyc_sec, a)
+        cr_sec = min(cr_sec, b)
     timings["crawl_cycle"] = round(cyc_sec, 3)
-    cr_sec, cr_urls = crawlrun_cycle(spark, SF_DIR)
-    cr2, _ = crawlrun_cycle(spark, SF_DIR)
-    cr_sec = min(cr_sec, cr2)
     timings["crawlrun_cycle"] = round(cr_sec, 3)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -114,8 +114,9 @@ class CrawlRun:
             w = w.partitionBy(partition_by)
         w.parquet(tmp)
         from .storage import partition_lineage
-        self._last_write_rows = _lineage_rows(partition_lineage(tmp))
-        return self.spark.read.parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        out._nutch_lineage_rows = _lineage_rows(partition_lineage(tmp))
+        return out
 
     def _install(self, name: str, rnd: int | None = None) -> DataFrame:
         """Commit half: stamp the ``_snapshot.json`` commit record
@@ -128,7 +129,6 @@ class CrawlRun:
         old = path + ".old"
         from .storage import partition_lineage
         lineage = partition_lineage(tmp)
-        self._last_write_rows = _lineage_rows(lineage)
         with open(os.path.join(tmp, "_snapshot.json"), "w") as f:
             json.dump({"name": name, "round": rnd, "ts": time.time(),
                        "rows": sum(p["rows"] or 0 for p in lineage),
@@ -144,7 +144,9 @@ class CrawlRun:
         if os.path.isdir(old):
             import shutil
             shutil.rmtree(old)
-        return self.spark.read.parquet(path)
+        out = self.spark.read.parquet(path)
+        out._nutch_lineage_rows = _lineage_rows(lineage)
+        return out
 
     def _write(self, df: DataFrame, name: str, rnd: int | None = None,
                partition_by: str | None = None) -> DataFrame:
@@ -206,17 +208,21 @@ class CrawlRun:
         """Durable-but-uncommitted crawldb write for round ``rnd``."""
         if self.db_table is not None:
             out = self.db_table.stage(df, rnd)
-            self._last_write_rows = self.db_table.staged_rows(rnd)
+            out._nutch_lineage_rows = self.db_table.staged_rows(rnd)
             return out
         return self._write_tmp(df, "crawldb", rnd)
 
-    def _rows_or_count(self, df: DataFrame) -> int:
+    @staticmethod
+    def _rows_or_count(df: DataFrame) -> int:
         """Row count of the frame just written: read from the write's
-        parquet-footer lineage (zero Spark jobs — the metric counts in
-        the reference come free from the MR framework's counters, and
-        a 10^10-row table is too big to re-scan just for a metric);
-        falls back to a count job when a footer was unreadable."""
-        n = getattr(self, "_last_write_rows", None)
+        parquet-footer lineage, carried ON the returned frame itself
+        (zero Spark jobs — the metric counts in the reference come
+        free from the MR framework's counters, and a 10^10-row table
+        is too big to re-scan just for a metric). The count travels
+        with the df argument, so an interposed write can never make
+        it report a different table's rows; falls back to a count job
+        when a footer was unreadable."""
+        n = getattr(df, "_nutch_lineage_rows", None)
         return n if n is not None else df.count()
 
     def _commit_crawldb(self, rnd: int) -> DataFrame:
@@ -287,7 +293,13 @@ class CrawlRun:
                      partitions=cfg.num_fetch_partitions)
 
         t0 = time.time()
-        pr = parse_op.parse_segment(content, cfg, now_ms)
+        # parse: html-only path by default; mime-dispatched (ParseUtil
+        # via parse-plugins.xml — html/feed/zip/text families) when
+        # configured, for CC-style mixed-mime corpora (bin/crawl:232)
+        if cfg.parse_mime_dispatch:
+            pr = parse_op.parse_segment_dispatch(content, cfg, now_ms)
+        else:
+            pr = parse_op.parse_segment(content, cfg, now_ms)
         parse_text = self._write(pr["parse_text"], "segments/parse_text",
                                  rnd)
         n_parsed = self._rows_or_count(parse_text)

@@ -114,25 +114,36 @@ def extract_headings(html: bytes, tags: tuple[str, ...] = ("h1", "h2"),
             for t, v in got.items() if t in wanted}
 
 
+# Schemes Java's `new URL(...)` accepts with a built-in handler —
+# anything else (including relative hrefs, which have no scheme)
+# throws MalformedURLException in the reference and is skipped.
+_JAVA_URL_SCHEMES = frozenset({"http", "https", "ftp", "file", "jar",
+                               "mailto"})
+_NETLOC_SCHEMES = frozenset({"http", "https", "ftp"})
+
+
 def extract_reltags(html: bytes) -> list[str]:
     """microformats-reltag (RelTagParser.java:95-135): for every
     ``<a rel="tag" href=...>``, the tag is the URL-decoded last path
-    segment of the href; set semantics, document order of first
-    occurrence."""
+    segment of the href. parseTag does ``new URL(href)``, so a
+    relative href (no scheme) throws and is skipped; the tag set is a
+    ``TreeSet``, so tags emit in sorted order."""
     from urllib.parse import unquote, urlparse
 
-    out: list[str] = []
-    seen = set()
+    out = set()
     for href in _walk(html).reltag_hrefs:
         try:
-            path = urlparse(href).path
+            p = urlparse(href)
         except ValueError:
             continue
-        tag = unquote(path[path.rfind("/") + 1:])
-        if tag and tag not in seen:
-            seen.add(tag)
-            out.append(tag)
-    return out
+        if p.scheme not in _JAVA_URL_SCHEMES:
+            continue
+        if p.scheme in _NETLOC_SCHEMES and not p.netloc:
+            continue
+        tag = unquote(p.path[p.path.rfind("/") + 1:])
+        if tag:
+            out.add(tag)
+    return sorted(out)
 
 
 _RDF_LICENSE = re.compile(

@@ -82,6 +82,13 @@ def indexing_filters_checker(docs: DataFrame) -> DataFrame:
                 "url", F.lit(c).alias("field"),
                 F.col(c).cast("string").alias("value"))
                 .where(F.col(c).isNotNull()))
+    if not rows:
+        # url-only docs frame: the reference's dump of a document with
+        # no fields is empty — return the (url, field, value) schema
+        # with zero rows rather than raising
+        return docs.select(
+            "url", F.lit(None).cast("string").alias("field"),
+            F.lit(None).cast("string").alias("value")).limit(0)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -38,7 +38,8 @@ _RAW_SCHEMA = (
 
 def parse_feeds(blobs: DataFrame, cfg: CrawlConfig,
                 url_col: str = "feed_url",
-                content_col: str = "content") -> DataFrame:
+                content_col: str = "content",
+                keep_source: bool = False) -> DataFrame:
     """Feed blobs (one XML document per row) → parse rows.
 
     Returns one row per surviving entry (``kind='entry'``, ``url`` =
@@ -48,6 +49,9 @@ def parse_feeds(blobs: DataFrame, cfg: CrawlConfig,
     ``feed`` / ``authors`` / ``tags`` / ``published`` / ``updated``
     carrying addFields' parse-meta. Undecodable blobs yield no rows
     (the reference's empty ParseResult, FeedParser.java:118-125).
+    ``keep_source=True`` adds the originating blob's ``source`` url —
+    parse_segment_dispatch joins the fetch datum's attributes back on
+    it (ParseSegment.map shares one Content across all sub-parses).
     """
     from collections.abc import Iterator
 
@@ -101,10 +105,11 @@ def parse_feeds(blobs: DataFrame, cfg: CrawlConfig,
     feed_meta = F.when(
         (F.col("kind") == "entry") & F.col("_nfeed").isNotNull()
         & F.col("_feed_ok"), F.col("_nfeed"))
+    extra = [F.col("feed_url").alias("source")] if keep_source else []
     return (raw.where(kept)
             .select(entry_url.alias("url"), "kind",
                     feed_meta.alias("feed"), "title", "text",
-                    "authors", "tags", "published", "updated"))
+                    "authors", "tags", "published", "updated", *extra))
 
 
 def feed_index_docs(parsed: DataFrame) -> DataFrame:

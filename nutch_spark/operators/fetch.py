@@ -282,14 +282,17 @@ def outputs_from_schedule(scheduled: DataFrame, pages: DataFrame,
     # the html/text pass: success rows only, shuffle join pinned (the
     # pages side never broadcasts), one traversal of page bytes per
     # round
-    page_body = pages.select("url", "html", "text", "lang") \
+    # mime_type (the protocol Content-Type) rides through when the
+    # pages table carries it — parse_segment_dispatch routes on it
+    extra = [c for c in ("mime_type",) if c in pages.columns]
+    page_body = pages.select("url", "html", "text", "lang", *extra) \
         .hint("shuffle_merge")
     content = (scheduled
                .where(F.col("_fstatus") == FETCH_SUCCESS)
                .join(page_body, "url", "left")
                .where(F.col("content_length").isNull()
                       | (F.col("content_length") <= F.length("html")))
-               .select("url", "html", "text", "lang",
+               .select("url", "html", "text", "lang", *extra,
                        F.col("virtual_time").alias("fetch_time"),
                        "score", "fetch_interval", "metadata"))
 

@@ -103,9 +103,12 @@ def nb_classify(docs: DataFrame, model: dict,
     best = F.greatest(*[F.col(f"sc_{i}") for i in range(len(labels))]) \
         if len(labels) > 1 else F.col("sc_0")
     label = F.lit(labels[-1])
-    # walk labels in reverse so earlier (smaller) labels win ties
+    # walk labels in reverse so earlier (smaller) labels win exact
+    # ties; strict equality — an absolute epsilon would be
+    # scale-dependent (log-score magnitude grows with doc length) and
+    # could hand a genuinely losing label the tie-break
     for i in range(len(labels) - 2, -1, -1):
-        label = F.when(F.col(f"sc_{i}") >= best - 1e-12,
+        label = F.when(F.col(f"sc_{i}") == best,
                        F.lit(labels[i])).otherwise(label)
     return scored.select("url", label.alias("label"))
 

@@ -38,8 +38,8 @@ from ..functions.normalizers import normalizer_udf
 from ..functions.signatures import signature_col
 from ..functions.urls import host_col
 from ..schema import (
-    META_REPR_URL, OUTLINK, STATUS_LINKED, STATUS_PARSE_META,
-    STATUS_SIGNATURE,
+    FETCH_SUCCESS, META_REPR_URL, OUTLINK, STATUS_LINKED,
+    STATUS_PARSE_META, STATUS_SIGNATURE,
 )
 
 PARSE_UDF_SCHEMA = StructType([
@@ -95,6 +95,15 @@ def parse_segment(content: DataFrame, cfg: CrawlConfig,
               # the bus ceiling (BENCH.md hardware canaries).
               .select("url", "fetch_time", "score", "fetch_interval",
                       "metadata", "_p", "signature"))
+    return _parse_outputs(parsed, cfg, now_ms)
+
+
+def _parse_outputs(parsed: DataFrame, cfg: CrawlConfig,
+                   now_ms: int) -> dict[str, DataFrame]:
+    """ParseOutputFormat half, shared by :func:`parse_segment` (html
+    only) and :func:`parse_segment_dispatch` (mime-routed). Input is
+    the slim parsed frame ``(url, fetch_time, score, fetch_interval,
+    metadata, _p, signature)`` — page bytes already dropped."""
     # the multi-output reuse cache — level configurable ("NONE" skips
     # caching entirely; each output then recomputes the parse UDF)
     if cfg.parse_cache_storage != "NONE":
@@ -342,6 +351,181 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
     return out
 
 
+def _sig_from_parent_md5(kind: str, text_col, parent_md5_col,
+                         min_token_len: int, quant_rate: float):
+    """signature_col with the raw-bytes branch replaced by a
+    precomputed md5 hex of the PARENT content: ParseSegment.java
+    130-133 calculates every sub-parse's signature from the one shared
+    Content, so MD5Signature is identical across a feed's sub-parses —
+    joining the 32-char hash instead of the blob keeps page bytes off
+    the parse-row path."""
+    from ..functions.signatures import text_profile_udf
+
+    if kind == "md5":
+        return parent_md5_col
+    if kind == "text_md5":
+        return F.when(text_col.isNotNull(),
+                      F.md5(F.encode(text_col, "UTF-8"))) \
+            .otherwise(parent_md5_col)
+    if kind == "text_profile":
+        return F.coalesce(
+            text_profile_udf(min_token_len, quant_rate)(text_col),
+            parent_md5_col)
+    raise ValueError(f"unknown signature kind: {kind}")
+
+
+def parse_segment_dispatch(content: DataFrame, cfg: CrawlConfig,
+                           now_ms: int,
+                           mime_col: str = "mime_type"
+                           ) -> dict[str, DataFrame]:
+    """ParseSegment with ParseUtil mime dispatch — the production
+    parse for a mixed-mime corpus (ParseUtil.java:74-110,
+    conf/parse-plugins.xml, wired per bin/crawl:232-236). Same output
+    contract as :func:`parse_segment` (parse_text / parse_data /
+    crawl_parse / parsed), with content routed by ``mime_col``:
+
+    - html family → the HtmlParser UDF path (identical to
+      parse_segment);
+    - feed family → parse-feed: one NON-canonical sub-parse per entry
+      — its own parse_text/parse_data/signature rows plus a
+      ``fetch_success`` crawl_parse datum carrying the parent's fetch
+      time (ParseOutputFormat.java:285-297), which is how discovered
+      entries enter the crawldb — and one canonical feed-level parse
+      with ``Outlink[0]`` (FeedParser.java:143-148);
+    - zip → parse-zip: one canonical parse per archive (combined text
+      + accumulated outlinks, ZipParser.java); ``failed_truncated``
+      archives are dropped;
+    - text/plain → trivial decode, no outlinks;
+    - unknown mime → dropped entirely (ParseSegment.java:100-108:
+      ParserNotFound → ParseException → ``return`` — the row reaches
+      none of the three outputs).
+
+    Spark shape: one filtered scan per parser family (each family is a
+    different kernel — html pandas UDF, feed/zip mapInPandas — so a
+    single-pass dispatch would force all parsing into one Python
+    kernel and off the vectorized html path). To keep the round at ONE
+    traversal of page bytes, ``content`` is persisted at
+    ``cfg.page_cache_storage`` before the family scans branch — the
+    fetch join runs once and each family reads the cached bytes; with
+    level NONE each family branch recomputes its (mime-pruned) scan,
+    which is the right trade only when the pages table is clustered by
+    mime so row-group pruning is real. All families then union into
+    ONE slim parsed frame (no page bytes) so the downstream
+    ParseOutputFormat program — signature / parse_meta / linked /
+    meta-refresh emissions — exists once in the plan, exactly as in
+    parse_segment."""
+    from . import archive as archive_op
+    from . import feed as feed_op
+
+    if cfg.page_cache_storage != "NONE":
+        from pyspark import StorageLevel
+        content = content.persist(
+            getattr(StorageLevel, cfg.page_cache_storage))
+
+    mime = F.lower(F.coalesce(F.col(mime_col), F.lit("")))
+    attrs = ["fetch_time", "score", "fetch_interval", "metadata"]
+    # nullable-field DDL (not ArrayType(OUTLINK)): casting a parsed
+    # array to a NOT NULL struct field is an AnalysisException
+    links_t = "array<struct<to_url:string,anchor:string>>"
+    null_s = F.lit(None).cast("string")
+    mtl, qr = cfg.text_profile_min_token_len, cfg.text_profile_quant_rate
+    slim = ["url", *attrs, "_p", "signature", "_kind"]
+    canonical = F.lit(None).cast("string").alias("_kind")
+
+    def struct_p(text, title, outlinks, redirect):
+        return F.struct(text.alias("text"), title.alias("title"),
+                        outlinks.alias("outlinks"),
+                        redirect.alias("redirect"))
+
+    frames = []
+    html = content.where(mime.isin(*PARSE_ROUTES["html"]))
+    frames.append(
+        html.withColumn("_p", parse_udf()(F.col("html"), F.col("url")))
+            .withColumn(
+                "signature",
+                signature_col(cfg.signature_kind, F.col("html"),
+                              F.col("_p.text"), F.col("url"),
+                              min_token_len=mtl, quant_rate=qr))
+            .select(*slim[:-1], canonical))
+
+    txt = (content.where(mime.isin(*PARSE_ROUTES["text"]))
+           .withColumn("_t", F.decode("html", "UTF-8")))
+    frames.append(
+        txt.withColumn("_p", struct_p(F.col("_t"), F.lit(""),
+                                      F.array().cast(links_t), null_s))
+           .withColumn(
+               "signature",
+               signature_col(cfg.signature_kind, F.col("html"),
+                             F.col("_t"), F.col("url"),
+                             min_token_len=mtl, quant_rate=qr))
+           .select(*slim[:-1], canonical))
+
+    # zip: the archive walk emits one row per archive keyed at the
+    # archive url — attrs join back 1:1 on url, bytes stay out of the
+    # join (only the 32-char md5 rides along for the signature)
+    zfam = content.where(mime.isin(*PARSE_ROUTES["zip"]))
+    zp = archive_op.parse_zips(
+        zfam.select("url", F.col("html").alias("content")), cfg,
+        length_col=None)
+    zslim = zfam.select("url", *attrs, F.md5("html").alias("_bsig"))
+    zj = zp.where(F.col("status") == "success").join(zslim, "url")
+    frames.append(
+        zj.withColumn("_p", struct_p(F.col("text"), F.col("title"),
+                                     F.col("outlinks"), null_s))
+          .withColumn("signature",
+                      _sig_from_parent_md5(cfg.signature_kind,
+                                           F.col("text"),
+                                           F.col("_bsig"), mtl, qr))
+          .select(*slim[:-1], canonical))
+
+    # feed: sub-parse rows keyed at entry urls + one canonical row at
+    # the feed url; the parent fetch datum's attrs join back on the
+    # source feed url (ParseSegment shares one Content per sub-parse)
+    ffam = content.where(mime.isin(*PARSE_ROUTES["feed"]))
+    fp = feed_op.parse_feeds(
+        ffam.select(F.col("url").alias("feed_url"),
+                    F.col("html").alias("content")),
+        cfg, keep_source=True)
+    fslim = ffam.select(F.col("url").alias("source"), *attrs,
+                        F.md5("html").alias("_bsig"))
+    fj = fp.join(fslim, "source")
+    frames.append(
+        fj.withColumn("_p", struct_p(F.col("text"),
+                                     F.coalesce(F.col("title"),
+                                                F.lit("")),
+                                     F.array().cast(links_t), null_s))
+          .withColumn("signature",
+                      _sig_from_parent_md5(cfg.signature_kind,
+                                           F.col("text"),
+                                           F.col("_bsig"), mtl, qr))
+          .select(*slim[:-1], F.col("kind").alias("_kind")))
+
+    parsed = frames[0]
+    for fr in frames[1:]:
+        parsed = parsed.unionByName(fr)
+    out = _parse_outputs(parsed, cfg, now_ms)
+
+    # non-canonical sub-parses: the fetch_success datum
+    # (ParseOutputFormat.java:285-297 — ``new CrawlDatum()`` defaults:
+    # score 0.0, interval 0; fetch time = parent's). Derived from the
+    # PERSISTED parsed frame so the feed kernel runs once.
+    sub = out["parsed"].where(F.col("_kind") == "entry").select(
+        "url", F.lit(FETCH_SUCCESS).alias("status"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(0).cast("int").alias("fetch_interval"),
+        F.lit(0.0).alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.create_map().cast("map<string,string>").alias("metadata"))
+    out["crawl_parse"] = out["crawl_parse"].unionByName(sub)
+    # the family branches are done with the page bytes once every
+    # output is materialized; callers unpersist out["content_cache"]
+    # alongside out["parsed"]
+    out["content_cache"] = content
+    return out
+
+
 def parse_metatags(content: DataFrame,
                    names: tuple[str, ...] = ("*",)) -> DataFrame:
     """parse-metatags plugin (MetaTagsParser.java:39-96): collect
@@ -406,8 +590,10 @@ def parse_headings(content: DataFrame,
 def parse_reltags(content: DataFrame) -> DataFrame:
     """microformats-reltag plugin (RelTagParser.java:61-135): per doc,
     the set of rel-tag microformat tags — the URL-decoded last path
-    segment of every ``<a rel="tag">`` href. Returns exploded
-    ``(url, tag)`` rows (the reference's Rel-Tag metadata set)."""
+    segment of every ``<a rel="tag">`` href whose URL is absolute
+    (parseTag's ``new URL`` throws on relative hrefs, skipping them).
+    Returns exploded ``(url, tag)`` rows in the reference's TreeSet
+    (sorted) order."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -478,3 +664,25 @@ def parse_js_links(content: DataFrame,
 
     return content.select("url", script_col).mapInPandas(
         run, "url string, to_url string")
+
+
+def parse_replace(parse_fields: DataFrame, rules) -> DataFrame:
+    """parse-replace plugin: ordered, host/url-scoped regex
+    replacements on parse-stage fields (title, text, parse metadata),
+    before indexing ever sees them.
+
+    The reference ships this plugin as an inert skeleton —
+    ``ReplaceParser.java:63-65`` leaves ``parseConf`` empty and
+    ``filter`` (lines 68-74) returns the ParseResult unchanged — so
+    byte-parity would be a no-op. This implements the plugin's
+    documented intent ("Do pattern replacements on selected field
+    contents", ReplaceParser.java:35-36) with the exact rule language
+    of its functional twin index-replace (ReplaceIndexer.java:41-200):
+    ``(scope_kind, scope_pattern, [(field, regexp, replacement)...])``
+    with hostmatch/urlmatch scoping and Java ``Matcher.replaceAll``
+    (all-occurrence) semantics. Pure JVM column program — shares
+    :func:`~nutch_spark.operators.indexing_filters.index_replace`.
+    """
+    from .indexing_filters import index_replace
+
+    return index_replace(parse_fields, rules)

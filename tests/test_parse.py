@@ -291,13 +291,15 @@ def test_urlmeta_tags_propagate_to_outlinks(spark):
 
 def test_parse_reltags(spark):
     """microformats-reltag: rel='tag' (case-insensitive) hrefs only,
-    last path segment URL-decoded, set semantics
+    last path segment URL-decoded, TreeSet semantics; a relative href
+    throws in the reference's `new URL(...)` and is skipped
     (RelTagParser.java:95-135)."""
     from nutch_spark.operators.parse import parse_reltags
 
     html = (b'<html><body>'
             b'<a rel="tag" href="http://t.ex/tags/Python">p</a>'
-            b'<a rel="TAG" href="/t/Machine%20Learning">m</a>'
+            b'<a rel="TAG" href="http://t.ex/t/Machine%20Learning">m</a>'
+            b'<a rel="tag" href="/t/Relative%20Skipped">r</a>'
             b'<a rel="tag" href="http://t.ex/tags/Python">dup</a>'
             b'<a href="http://t.ex/tags/NotTagged">n</a>'
             b'</body></html>')
