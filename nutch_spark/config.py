@@ -63,6 +63,19 @@ class CrawlConfig:
     # --- updatedb (CrawlDbReducer.java:51-58) ---
     db_fetch_retry_max: int = 3               # db.fetch.retry.max
     db_update_max_inlinks: int = 10000        # db.update.max.inlinks
+    # inlink-cap plan shape (ours, measured — BENCH.md r05 A/B):
+    # False (default) = window-sort the whole linked stream — ONE
+    # exchange+sort of a frame that is about to shuffle anyway.
+    # True = partial-agg count finds over-cap urls, window sorts only
+    # those. The hot-split looked right on paper (the 10k cap almost
+    # never binds) but references the linked stream THREE times
+    # (count + join + anti-join); when that stream is not materialized
+    # — the hand-wired cycle, any caller composing updatedb directly —
+    # each reference re-executes the parse/fetch subtree, and the
+    # interleaved A/B measured 24.3 s vs 11.6 s min-of-3 on the bench
+    # cycle (this was r04's "unexplained" crawl_cycle regression;
+    # crawlrun_cycle, which persists messages, stayed flat).
+    inlink_cap_hot_split: bool = False
     db_update_additions_allowed: bool = True  # db.update.additions.allowed
     db_update_purge_404: bool = False         # db.update.purge.404
     db_update_normalize: bool = False         # crawldb.url.normalizers
@@ -131,8 +144,17 @@ class CrawlConfig:
     # distribution and updatedb accumulation are no-ops (scores come
     # from LinkRank via score_updater), indexer boost =
     # link.analyze.normalize.score × score.
+    # "similarity" (scoring-similarity stacked on OPIC, the plugin's
+    # shipped composition): distributeScoreToOutlinks OVERWRITES each
+    # target's score with the parent page's cosine similarity to the
+    # gold document (CosineSimilarityModel.java:146-155 — copied, not
+    # divided); updatedb accumulation and generate ordering stay
+    # OPIC's, so the frontier drifts toward on-topic neighborhoods
+    # (focused crawling).
     scoring_filter: str = "opic"
     link_analyze_normalize_score: float = 1.0
+    similarity_gold_text: str = ""             # cosine.goldstandard.file
+    similarity_stopwords: tuple[str, ...] = () # cosine.stopword.file
 
     # --- scoring-depth plugin (DepthScoringFilter.java) ---
     scoring_depth_enabled: bool = False

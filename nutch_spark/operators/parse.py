@@ -172,9 +172,23 @@ def _parse_outputs(parsed: DataFrame, cfg: CrawlConfig,
     # OPIC distributes parent_score/n×factor to targets; scoring-link
     # leaves targets at initialScore 0.0
     # (LinkAnalysisScoringFilter.distributeScoreToOutlinks /
-    # initialScore)
-    linked_score = (F.lit(0.0) if cfg.scoring_filter == "link"
-                    else (F.col("score") / F.col("_n") * factor))
+    # initialScore); scoring-similarity copies the parent's cosine to
+    # EVERY outlink verbatim (CosineSimilarityModel.java:146-155)
+    if cfg.scoring_filter == "link":
+        linked_score = F.lit(0.0)
+    elif cfg.scoring_filter == "similarity":
+        from .similarity import similarity_scores
+        sim = similarity_scores(
+            parsed.select("url", F.col("_p.text").alias("text")),
+            cfg.similarity_gold_text, cfg.similarity_stopwords)
+        # per-parent scalar joined onto the exploded outlink rows: the
+        # cosine agg runs over slim parse rows (broadcast gold TF),
+        # never over page bytes
+        ol = ol.join(sim.withColumnRenamed("score", "_sim_score"),
+                     "url", "left")
+        linked_score = F.coalesce(F.col("_sim_score"), F.lit(0.0))
+    else:
+        linked_score = F.col("score") / F.col("_n") * factor
     # scoring-depth: child depth = parent depth + 1, hops past
     # scoring.depth.max are dropped (DepthScoringFilter.java)
     link_meta = F.create_map(

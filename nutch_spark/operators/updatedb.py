@@ -103,27 +103,34 @@ def updatedb(crawldb: DataFrame | None, messages: DataFrame,
         cap = cfg.db_update_max_inlinks
         linked = df.where(F.col("_kind") == STATUS_LINKED)
         others = df.where(F.col("_kind") != STATUS_LINKED)
-        # the cap almost never binds (10000 inlink messages to ONE url
-        # in ONE round = a viral page), and the linked stream is the
-        # round's widest frame — so don't sort all of it: a partial-agg
-        # count finds the over-cap urls (at most total/cap — always
-        # broadcastable), the window sorts only their rows, the rest
-        # pass through map-side
-        hot = F.broadcast(
-            linked.groupBy("url").agg(F.count("*").alias("_n"))
-                  .where(F.col("_n") > cap).select("url"))
         # deterministic tie-break: score desc, then newest fetch_time,
         # then signature/modified_time — the partition key itself is
         # constant within the window and cannot break ties
         w = Window.partitionBy("url").orderBy(
             F.desc("score"), F.desc("fetch_time"),
             F.asc("modified_time"), F.asc_nulls_last("signature"))
-        capped = (linked.join(hot, "url")
-                  .withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") <= cap)
-                  .drop("_rn"))
-        linked = linked.join(hot, "url", "left_anti") \
-            .unionByName(capped)
+        if cfg.inlink_cap_hot_split:
+            # NON-default (measured slower, see config.py): a
+            # partial-agg count finds the over-cap urls (at most
+            # total/cap — broadcastable), the window sorts only their
+            # rows. Saves the full-width sort but references the
+            # linked stream 3× — when the stream is not materialized,
+            # each reference re-executes the parse/fetch subtree, and
+            # the interleaved A/B measured this 2× SLOWER on the bench
+            # cycle (24.3 vs 11.6 s). Only consider when the input is
+            # persisted AND the sort dominates profile.
+            hot = F.broadcast(
+                linked.groupBy("url").agg(F.count("*").alias("_n"))
+                      .where(F.col("_n") > cap).select("url"))
+            capped = (linked.join(hot, "url")
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= cap)
+                      .drop("_rn"))
+            linked = linked.join(hot, "url", "left_anti") \
+                .unionByName(capped)
+        else:
+            linked = (linked.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= cap).drop("_rn"))
         df = others.unionByName(linked)
 
     is_db = F.col("_kind") == "db"
