@@ -942,6 +942,36 @@ def q_parse_dispatch(spark, sf):
                       "text", "n_outlinks")
 
 
+def q_parse_dispatch_segment(spark, sf):
+    """parse_segment_dispatch — the mime-routed parse the SHIPPED
+    cycle runs under cfg.parse_mime_dispatch (ParseUtil.java:74-110,
+    bin/crawl:232-236), with the full 3-way sink contract: the html
+    family's parse_text collapses whitespace (DOMContentUtils), the
+    text/plain family decodes verbatim, and unknown mimes reach NO
+    output (ParseSegment.java:100-108 — ParserNotFound → return).
+    Signatures are the raw-byte md5 of the content for both parsed
+    families. Feed/zip families are cycle-tested
+    (tests/test_parse_dispatch_cycle.py)."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    mime = F.when(i % 3 == 0, "text/html") \
+        .when(i % 3 == 1, "text/plain") \
+        .otherwise("application/pdf")
+    content = d.select(
+        _url(i).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text").alias("text"), F.lit("en").alias("lang"),
+        mime.alias("mime_type"),
+        F.lit(FETCH_TIME_MS).cast("long").alias("fetch_time"),
+        F.lit(1.0).alias("score"),
+        F.lit(3600).cast("int").alias("fetch_interval"),
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    pr = parse_op.parse_segment_dispatch(content, CFG, CUR_TIME_MS)
+    out = pr["parse_text"].join(
+        pr["parse_data"].select("url", "signature"), "url")
+    return out.select("url", "text", "signature")
+
+
 def _metatag_content(spark, sf):
     """HTML with closed-form meta tags + headings per doc_id."""
     d = _docs(spark, sf)
@@ -1436,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 -------------------------------------------
         "parse_replace": q_parse_replace,
         "urlmeta_outlinks": q_urlmeta_outlinks,
+        "parse_dispatch_segment": q_parse_dispatch_segment,
         # -- module changed since last driver-green row ---------------
         "linkrank": q_linkrank,
         # -- r03 greens that rotated out of the r04 window ------------
@@ -1474,9 +1505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "linkdb_invert": q_linkdb_invert,
         "webgraph_degrees": q_webgraph_degrees,
-        "dedup_substrings": q_dedup_substrings,
         # ==== driver slot 50 boundary ends here ======================
         # -- multi-round-stable greens (r03+r04), rotated out ---------
+        "dedup_substrings": q_dedup_substrings,
         "generate_topn": q_generate_topn,
         "inject_new": q_inject_new,
         "inject_merge": q_inject_merge,
@@ -2441,6 +2472,19 @@ SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
        END AS text,
        0 AS n_outlinks
 FROM documents""",
+
+        # 3-way-sink dispatch: html text collapses whitespace, plain
+        # decodes verbatim, unknown (pdf) rows reach NO output;
+        # signature = raw-byte md5 of the content for both families
+        "parse_dispatch_segment": """
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0
+              THEN REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')
+            ELSE text END AS text,
+       md5(text) AS signature
+FROM documents
+WHERE doc_id % 3 < 2""",
 
         # mime is closed-form from doc_id (png magic / html tag /
         # plain); path = DumpFileUtil's md5 scheme — dir1=md5[0]+[8],

@@ -113,6 +113,10 @@ class CrawlConfig:
     # indexer.delete.robots.noindex (NUTCH-1434)
     indexer_delete_robots_noindex: bool = False
     indexer_skip_notmodified: bool = False    # indexer.skip.notmodified
+    # bin/crawl INDEXFLAG (bin/crawl:249-256): run the index + clean
+    # steps inside every cycle round — docs/deletes land under
+    # indexes/round=N as the engine's analog of the Solr/ES sink
+    index_enabled: bool = False
 
     # --- indexing-filter plugins (IndexingFilters chain over the
     # indexer_docs frame; src/plugin/index-* — see

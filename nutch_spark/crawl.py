@@ -380,6 +380,27 @@ class CrawlRun:
             self._metric(rnd, "linkrank", rows=ranks.count(),
                          sec=time.time() - t0)
 
+        # per-round index + clean (bin/crawl:249-256, INDEXFLAG): the
+        # IndexingJob's doc emission over this round's crawldb ∪ linkdb
+        # ∪ segment, plus the delete stream (IndexerMapReduce delete
+        # rules ∪ CleaningJob's gone/duplicate scan) — materialized as
+        # the docs/deletes tables, the engine's analog of the Solr/ES
+        # sink (SURVEY §2.7 IndexerMapReduce row)
+        if cfg.index_enabled:
+            t0 = time.time()
+            from .operators import readers
+            cf_slim = crawl_fetch.drop("queue_id", "virtual_time")
+            docs = readers.indexer_docs(new_db, ldb, parse_text,
+                                        parse_data, cf_slim, cfg)
+            docs = self._write(docs, "indexes/docs", rnd)
+            dels = readers.indexer_deletes(new_db, parse_data, cf_slim,
+                                           cfg)
+            deletes = dels.unionByName(readers.cleaning_job(new_db)) \
+                .distinct()
+            self._write(deletes, "indexes/deletes", rnd)
+            self._metric(rnd, "index", rows=self._rows_or_count(docs),
+                         sec=time.time() - t0)
+
         # stage (durable, uncommitted) — the crawldb snapshot is the
         # resume marker, so its COMMIT must be the round's last write:
         # a crash after the commit but before linkdb/bloom would

@@ -330,6 +330,17 @@ def main() -> None:
         f"| {probe_eff('shuffle', a, b)} | {probe_eff('arrow', a, b)} |"
         for a, b in pairs)
 
+    # engine-history tail (single-width snapshots, round-over-round
+    # analyses) is hand-maintained — carry it across regenerations
+    keep = ""
+    try:
+        old = open("/root/repo/BENCH.md").read()
+        i = old.find("<!-- engine-history")
+        if i >= 0:
+            keep = "\n" + old[i:]
+    except FileNotFoundError:
+        pass
+
     with open("/root/repo/BENCH.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
@@ -403,7 +414,7 @@ regime that resembles adding nodes), it reaches
   generate via the fetchlist's _urlhash column); no per-row Python;
 - per-cycle materializations freed between cycles (clearCache +
   driver GC) so block-manager churn does not compound across rounds.
-""")
+{keep}""")
 
 
 if __name__ == "__main__":

@@ -274,3 +274,24 @@ def test_cycle_politeness_lower_bound(spark, tmp_path, fixture):
         d = delay.get(r.queue_id, default)
         assert r.span >= (r.k - 1) * d, \
             f"queue {r.queue_id}: span {r.span} < ({r.k}-1)*{d}"
+
+
+def test_index_and_clean_steps_in_round(spark, tmp_path, fixture):
+    """bin/crawl INDEXFLAG (bin/crawl:249-256): with
+    cfg.index_enabled the round materializes the IndexingJob's docs
+    and the delete stream (IndexerMapReduce rules ∪ CleaningJob's
+    gone/duplicate scan) under indexes/round=N."""
+    run, db = _run(spark, tmp_path, fixture, index_enabled=True)
+    docs = spark.read.parquet(f"{tmp_path}/indexes/docs/round=2")
+    assert docs.count() > 0
+    for col in ("url", "host", "title", "text", "digest", "boost"):
+        assert col in docs.columns, col
+    # the fixture plants byte-identical dup pages → db_duplicate rows
+    # → CleaningJob delete requests
+    dels = spark.read.parquet(f"{tmp_path}/indexes/deletes/round=2")
+    reasons = {r.reason for r in dels.collect()}
+    assert "duplicate" in reasons
+    # indexed docs and deletes are disjoint (gone/dup rows are skipped
+    # by the doc join)
+    both = docs.join(dels, "url").count()
+    assert both == 0
