@@ -869,6 +869,28 @@ def q_filter_checker(spark, sf):
     return checkers.filter_checker(_checker_urls(spark, sf), CFG)
 
 
+def q_automaton_filter(spark, sf):
+    """urlfilter-automaton analog (AutomatonURLFilter.java:80-105):
+    ±rules with FULL-string DFA acceptance — all rules in one product
+    automaton, one vectorized table walk per url. The rule set is the
+    reference's WholeWebCrawling.rules plus a brics numeric-interval
+    rule ``<0-99>`` (RegExp.ALL extension) so the interval construction
+    is oracle-checked: only img0..img99 pngs are rejected by it, and
+    png is NOT in the whole-web extension list, so img100+ pngs fall
+    through to ``+.*``. The oracle knows each fixture url's verdict
+    closed-form (full-match semantics make them decidable per family)."""
+    from nutch_spark.operators import checkers
+    rules = [
+        ("-", ".*img<0-99>\\.png"),
+        ("-", "(file|ftp|mailto):.*"),
+        ("-", ".*\\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg"
+              "|xls|gz|rpm|tgz|mov|MOV|exe)"),
+        ("-", ".*[?*!@=].*"),
+        ("+", ".*"),
+    ]
+    return checkers.automaton_filter_checker(_checker_urls(spark, sf), rules)
+
+
 def q_normalizer_checker(spark, sf):
     """URLNormalizerChecker (URLNormalizerChecker.java:49-68):
     scope=default chain over urls with denormalized scheme/host case,
@@ -1467,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_replace": q_parse_replace,
         "urlmeta_outlinks": q_urlmeta_outlinks,
         "parse_dispatch_segment": q_parse_dispatch_segment,
+        "automaton_filter": q_automaton_filter,
         # -- module changed since last driver-green row ---------------
         "linkrank": q_linkrank,
         # -- r03 greens that rotated out of the r04 window ------------
@@ -1504,9 +1527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loops_detect": q_loops_detect,
         "dedup_clusters": q_dedup_clusters,
         "linkdb_invert": q_linkdb_invert,
-        "webgraph_degrees": q_webgraph_degrees,
         # ==== driver slot 50 boundary ends here ======================
         # -- multi-round-stable greens (r03+r04), rotated out ---------
+        "webgraph_degrees": q_webgraph_degrees,
         "dedup_substrings": q_dedup_substrings,
         "generate_topn": q_generate_topn,
         "inject_new": q_inject_new,
@@ -2543,6 +2566,28 @@ SELECT url, topic, title, description
 FROM hashed WHERE abs(h) % 3 = 0""",
 
         # verdicts are closed-form per the fixture's rule-keyed url mix
+        "automaton_filter": """
+SELECT url,
+       CASE WHEN doc_id % 5 IN (1, 3) THEN '-'
+            WHEN doc_id % 5 = 2 AND doc_id <= 99 THEN '-'
+            ELSE '+' END AS verdict
+FROM (SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                           || '.test/p' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'ftp://host' || CAST(doc_id % 40 AS VARCHAR)
+                           || '.test/p' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                           || '.test/img' || CAST(doc_id AS VARCHAR)
+                           || '.png'
+               WHEN 3 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                           || '.test/p' || CAST(doc_id AS VARCHAR)
+                           || '?q=1'
+               ELSE 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.test/x/y' || CAST(doc_id AS VARCHAR)
+                    || '/x/y' || CAST(doc_id AS VARCHAR) || '/x/'
+             END AS url
+      FROM documents)""",
         "filter_checker": """
 SELECT CASE doc_id % 5
          WHEN 0 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)

@@ -16,6 +16,7 @@ pipeline would do to those urls, which is the point of the tools).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import CrawlConfig
@@ -41,6 +42,27 @@ def filter_checker(urls: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return df.select(
         "url",
         F.when(F.col("accepted"), "+").otherwise("-").alias("verdict"))
+
+
+def automaton_filter_checker(urls: DataFrame, rules) -> DataFrame:
+    """URLFilterChecker verdicts for the urlfilter-automaton analog
+    (AutomatonURLFilter.java:80-105): first-match-wins ±rules with
+    FULL-string automaton acceptance (brics RunAutomaton.run), the
+    contrast to urlfilter-regex's substring find(). All rules compile
+    into one product DFA per executor; the match is a vectorized
+    table walk over the Arrow batch. Returns (url, verdict)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    rules_key = tuple((sign, pat) for sign, pat in rules)
+
+    @pandas_udf(StringType())
+    def _verdict(u: pd.Series) -> pd.Series:
+        from ..functions.automaton import compiled_filter
+        f = compiled_filter(rules_key)
+        return pd.Series(f.verdicts(u.tolist()))
+
+    return urls.select("url", _verdict(F.col("url")).alias("verdict"))
 
 
 def parser_checker(content: DataFrame, cfg: CrawlConfig,
