@@ -1103,6 +1103,27 @@ def q_parse_replace(spark, sf):
     return out.select("url", "title", "text")
 
 
+def q_parse_swf(spark, sf):
+    """REAL SWF (Flash) parsing (parse-swf plugin, SWFParser.java:
+    63-125): docs → deterministic movies (two DefineEditText fields,
+    a DoAction ConstantPool of surviving free strings, literal GetURL
+    actions; even ids zlib-compressed CWS) → parse_swfs → one row per
+    movie. The codec itself is golden-verified against the
+    reference's three sample movies (tests/test_swfparse.py); here
+    the oracle recomputes the text (edit texts space-joined, then the
+    ``--------`` divider and the sorted free strings), the outlink
+    list (getURL order, then the free-text URL sweep re-finding the
+    in-text url) and the truncation gate from doc_id arithmetic."""
+    from nutch_spark.operators import swf as swf_op
+    d = _docs(spark, sf).select("doc_id")
+    parsed = swf_op.parse_swfs(swf_op.make_swf_blobs(d), CFG)
+    return parsed.select(
+        "url", "status", "title", "text",
+        F.array_join(F.transform("outlinks", lambda o: o["to_url"]),
+                     "|").alias("links"),
+        F.size("outlinks").alias("n_links"))
+
+
 def q_urlmeta_outlinks(spark, sf):
     """urlmeta plugin (URLMetaScoringFilter.java:60-83,
     distributeScoreToOutlinks): the configured parent metadata keys
@@ -1486,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_decode": q_audio_features,
         "media_video_frames": q_video_frames,
         # -- new in round 5 -------------------------------------------
+        "parse_swf": q_parse_swf,
         "parse_replace": q_parse_replace,
         "urlmeta_outlinks": q_urlmeta_outlinks,
         "parse_dispatch_segment": q_parse_dispatch_segment,
@@ -2166,6 +2188,33 @@ SELECT 'http://zips.test/z' || CAST(g AS VARCHAR) || '.zip' AS url,
        CASE WHEN g % 13 = 0 THEN '' ELSE anchors END AS anchors,
        CAST(CASE WHEN g % 13 = 0 THEN 0 ELSE n END AS INT) AS n_links
 FROM a""",
+
+        # parse-swf round trip: text / outlinks / truncation gate all
+        # from doc_id arithmetic (see q_parse_swf); the codec is
+        # golden-verified separately against the reference samples
+        "parse_swf": """
+SELECT 'http://swf.test/m' || CAST(doc_id AS VARCHAR) || '.swf' AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       '' AS title,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                 || ' see http://t.test/d' || CAST(doc_id AS VARCHAR)
+                 || ' body ' || CAST(doc_id % 3 AS VARCHAR)
+                 || chr(10) || '--------'
+                 || chr(10) || 'kw' || CAST(doc_id % 5 AS VARCHAR)
+                 || chr(10) || 'tag' || CAST(doc_id % 7 AS VARCHAR)
+       END AS text,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE 'http://l.test/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN '|mailto:x@y.test' ELSE '' END
+                 || '|http://t.test/d' || CAST(doc_id AS VARCHAR)
+       END AS links,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                 WHEN doc_id % 11 = 0 THEN 3 ELSE 2 END AS INT)
+         AS n_links
+FROM documents""",
 
         # parse-feed round trip: every output field is doc_id
         # arithmetic (see q_feed_parse)

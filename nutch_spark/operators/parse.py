@@ -285,6 +285,7 @@ PARSE_ROUTES = {
     "html": ("text/html", "application/xhtml+xml"),
     "feed": ("application/rss+xml", "application/atom+xml"),
     "zip": ("application/zip",),
+    "swf": ("application/x-shockwave-flash",),
     "text": ("text/plain",),
 }
 
@@ -301,15 +302,17 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
     - application/rss+xml, application/atom+xml → the feed plugin
       (one row per entry + one per feed, like its ParseResult);
     - application/zip → the parse-zip container walk;
+    - application/x-shockwave-flash → the parse-swf tag walk
+      (golden-verified SWF codec);
     - text/plain → trivial decode (title '', no outlinks);
     - anything else → one ``failed_parser_not_found`` row
       (ParserNotFound, ParseUtil.java:80-86).
 
     Spark shape: one filtered scan per registered parser family (the
     mime predicate pushes to the scan; each family's parser is a
-    different kernel — html UDF, feed/zip mapInPandas — so a
+    different kernel — html UDF, feed/zip/swf mapInPandas — so a
     single-pass dispatch is not expressible). Unknown-mime rows cost a
-    fifth slim scan that never touches the page bytes."""
+    final slim scan that never touches the page bytes."""
     mime = F.lower(F.coalesce(F.col(mime_col), F.lit("")))
 
     outs = []
@@ -340,6 +343,16 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
     zp = archive_op.parse_zips(zips, cfg, length_col=None)
     outs.append(zp.select(
         "url", F.lit("parse-zip").alias("parser"), "status", "title",
+        "text",
+        F.size(F.coalesce(F.col("outlinks"), F.array()))
+         .alias("n_outlinks")))
+
+    from . import swf as swf_op
+    swfs = (content.where(mime.isin(*PARSE_ROUTES["swf"]))
+            .select("url", F.col("html").alias("content")))
+    sp = swf_op.parse_swfs(swfs, cfg, length_col=None)
+    outs.append(sp.select(
+        "url", F.lit("parse-swf").alias("parser"), "status", "title",
         "text",
         F.size(F.coalesce(F.col("outlinks"), F.array()))
          .alias("n_outlinks")))
