@@ -1124,6 +1124,40 @@ def q_parse_swf(spark, sf):
         F.size("outlinks").alias("n_links"))
 
 
+def q_parse_ext(spark, sf):
+    """parse-ext plugin (ExtParser.java:60-150): per-content-type
+    external commands over document blobs — even ids uppercase via
+    ``tr``, odd ids pass through ``cat``; ids %17 have no registered
+    command (lookup precedes the truncation gate, :74-77), ids %13
+    declare a wrong Content-Length (failed_truncated, :94-101). The
+    in-text url survives the command and is re-found by the free-text
+    URL sweep (:135-138), uppercased on the tr path."""
+    from nutch_spark.operators.extparse import parse_ext
+    d = _docs(spark, sf).select("doc_id", "text")
+    i = F.col("doc_id")
+    content = F.encode(
+        F.concat(F.col("text"), F.lit(" ref http://e.test/d"),
+                 i.cast("string")), "UTF-8")
+    blobs = d.select(
+        F.concat(F.lit("http://ext.test/p"), i.cast("string"))
+         .alias("url"),
+        content.alias("content"),
+        F.when(i % 17 == 0, F.lit("application/unknown"))
+         .when(i % 2 == 0, F.lit("text/x-upper"))
+         .otherwise(F.lit("text/x-cat")).alias("mime_type"),
+        (F.length(content)
+         + F.when(i % 13 == 0, 7).otherwise(0)).cast("long")
+         .alias("content_length"))
+    cmds = {"text/x-upper": (["sh", "-c", "tr a-z A-Z"], 30, "utf-8"),
+            "text/x-cat": (["sh", "-c", "cat"], 30, "utf-8")}
+    parsed = parse_ext(blobs, CFG, cmds)
+    return parsed.select(
+        "url", "status", "title", "text",
+        F.array_join(F.transform("outlinks", lambda o: o["to_url"]),
+                     "|").alias("links"),
+        F.size("outlinks").alias("n_links"))
+
+
 def q_urlmeta_outlinks(spark, sf):
     """urlmeta plugin (URLMetaScoringFilter.java:60-83,
     distributeScoreToOutlinks): the configured parent metadata keys
@@ -1508,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_video_frames,
         # -- new in round 5 -------------------------------------------
         "parse_swf": q_parse_swf,
+        "parse_ext": q_parse_ext,
         "parse_replace": q_parse_replace,
         "urlmeta_outlinks": q_urlmeta_outlinks,
         "parse_dispatch_segment": q_parse_dispatch_segment,
@@ -2214,6 +2249,30 @@ SELECT 'http://swf.test/m' || CAST(doc_id AS VARCHAR) || '.swf' AS url,
        CAST(CASE WHEN doc_id % 13 = 0 THEN 0
                  WHEN doc_id % 11 = 0 THEN 3 ELSE 2 END AS INT)
          AS n_links
+FROM documents""",
+
+        # parse-ext round trip: tr/cat external commands, gates and
+        # the URL sweep all from doc_id arithmetic (see q_parse_ext)
+        "parse_ext": """
+SELECT 'http://ext.test/p' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 17 = 0 THEN 'failed_no_command'
+            WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       '' AS title,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN ''
+            WHEN doc_id % 2 = 0
+              THEN upper(text || ' ref http://e.test/d'
+                         || CAST(doc_id AS VARCHAR))
+            ELSE text || ' ref http://e.test/d'
+                 || CAST(doc_id AS VARCHAR)
+       END AS text,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN ''
+            WHEN doc_id % 2 = 0
+              THEN 'HTTP://E.TEST/D' || CAST(doc_id AS VARCHAR)
+            ELSE 'http://e.test/d' || CAST(doc_id AS VARCHAR)
+       END AS links,
+       CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN 0
+                 ELSE 1 END AS INT) AS n_links
 FROM documents""",
 
         # parse-feed round trip: every output field is doc_id
