@@ -135,13 +135,18 @@ f AS (SELECT * FROM f1 UNION SELECT * FROM f2)
 """
 
 
-def _edges(spark: SparkSession, sf: str) -> DataFrame:
+def _edges(spark: SparkSession, sf: str, dedup: bool = True) -> DataFrame:
+    """``dedup=False`` skips the fixture-level 3-column distinct for
+    consumers that deduplicate internally anyway (invert_links'
+    dropDuplicates, webgraph's distinct) — identical result set, one
+    less full-width exchange."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    return li.select(
+    out = li.select(
         _url(F.col("l_orderkey")).alias("from_url"),
         _url(F.col("l_partkey")).alias("to_url"),
         F.concat(F.lit("a"), F.col("l_linenumber").cast("string"))
-         .alias("anchor")).distinct()
+         .alias("anchor"))
+    return out.distinct() if dedup else out
 
 
 # --------------------------------------------------------------------------
@@ -259,7 +264,7 @@ def q_domain_stats(spark, sf):
 
 
 def q_linkdb_invert(spark, sf):
-    ldb = linkdb_op.invert_links(_edges(spark, sf), CFG)
+    ldb = linkdb_op.invert_links(_edges(spark, sf, dedup=False), CFG)
     return ldb.select("url", F.size("inlinks").alias("n_inlinks"))
 
 
@@ -276,12 +281,22 @@ def q_generate_segments(spark, sf):
 
 def _loop_edges(spark, sf):
     """Edges symmetrized on host0 sources so the graph provably
-    contains reciprocal cycles for the Loops detector."""
-    e = _edges(spark, sf).select("from_url", "to_url")
-    rev = (e.where(F.regexp_extract("from_url", r"host(\d+)\.", 1) == "0")
-           .select(F.col("to_url").alias("from_url"),
-                   F.col("from_url").alias("to_url")))
-    return e.unionByName(rev)
+    contains reciprocal cycles for the Loops detector.
+
+    Built straight from the numeric keys: the host test is
+    ``l_orderkey % 40 == 0`` (what the url embeds), evaluated before
+    the url strings exist — no regexp over built urls and no
+    3-column pre-distinct (every consumer distincts the 2-column
+    edge set itself; same result set, one less exchange)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pairs = li.select(F.col("l_orderkey").alias("a"),
+                      F.col("l_partkey").alias("b"))
+    fwd = pairs
+    rev = (pairs.where(F.col("a") % 40 == 0)
+           .select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return fwd.unionByName(rev).select(
+        _url(F.col("a")).alias("from_url"),
+        _url(F.col("b")).alias("to_url"))
 
 
 def q_loops_detect(spark, sf):
@@ -318,7 +333,7 @@ def q_domain_stats_domain(spark, sf):
 
 
 def q_webgraph_degrees(spark, sf):
-    wg = linkdb_op.webgraph(_edges(spark, sf), None, CFG)
+    wg = linkdb_op.webgraph(_edges(spark, sf, dedup=False), None, CFG)
     return wg["nodedb"].select("url", "in_degree", "out_degree")
 
 
@@ -1293,7 +1308,7 @@ def q_crawldb_url(spark, sf):
 def q_readlinkdb(spark, sf):
     """readlinkdb -url lookups (LinkDbReader.java) over a small url
     set, inlinks exploded to rows for order-insensitive comparison."""
-    ldb = linkdb_op.invert_links(_edges(spark, sf), CFG)
+    ldb = linkdb_op.invert_links(_edges(spark, sf, dedup=False), CFG)
     targets = [f"http://host{k % 40}.test/p{k}" for k in range(1, 6)]
     return (ldb.where(F.col("url").isin(targets))
             .select("url", F.explode("inlinks").alias("il"))
@@ -1303,7 +1318,7 @@ def q_readlinkdb(spark, sf):
 
 def q_nodedumper(spark, sf):
     """NodeDumper top-N by inlink degree (NodeDumper.java)."""
-    wg = linkdb_op.webgraph(_edges(spark, sf), None, CFG)
+    wg = linkdb_op.webgraph(_edges(spark, sf, dedup=False), None, CFG)
     return linkdb_op.node_dumper(wg["nodedb"], by="inlinks", n=20)
 
 
@@ -1313,7 +1328,7 @@ def q_link_dumper(spark, sf):
     oracle recomputes the inversion + crawldb-score join (urls absent
     from the crawldb carry webgraph's 0.0 default)."""
     db = _crawldb(spark, sf)
-    wg = linkdb_op.webgraph(_edges(spark, sf),
+    wg = linkdb_op.webgraph(_edges(spark, sf, dedup=False),
                             db.select("url", "score"), CFG)
     out = linkdb_op.link_dumper(wg["outlinkdb"], wg["nodedb"])
     return out.select(
@@ -1333,7 +1348,7 @@ def q_node_reader(spark, sf):
     (Node.java:68). floor-quantized like linkrank so both engines run
     the identical double arithmetic."""
     db = _crawldb(spark, sf)
-    wg = linkdb_op.webgraph(_edges(spark, sf),
+    wg = linkdb_op.webgraph(_edges(spark, sf, dedup=False),
                             db.select("url", "score"), CFG)
     out = linkdb_op.node_reader(wg["nodedb"], "http://host1.test/p1")
     q = lambda c: (F.floor(F.col(c) * 10000 + 0.5) / 10000).alias(c)
@@ -1357,7 +1372,7 @@ def q_score_updater(spark, sf):
     urls absent from the webgraph get score cleared to 0."""
     db = _crawldb(spark, sf)
     scores = db.select("url", "score")
-    wg = linkdb_op.webgraph(_edges(spark, sf), scores, CFG)
+    wg = linkdb_op.webgraph(_edges(spark, sf, dedup=False), scores, CFG)
     out = linkdb_op.score_updater(db, wg["nodedb"])
     return out.select("url", "status",
                       F.round("score", 4).alias("score"))

@@ -151,7 +151,14 @@ def find_loops(edges: DataFrame, depth: int = 2,
     and exists purely as the 100×-scale safety valve.
 
     Returns (url, loop_set array<string>)."""
-    e = edges.select("from_url", "to_url").distinct()
+    # one exchange instead of two for the init: hash-partitioning on
+    # from_url alone satisfies the (from_url, to_url) dedup, the
+    # outsets groupBy(from_url) AND the has_inlinks equi-join — a
+    # plain distinct() would shuffle on both columns and outsets
+    # would re-shuffle on from_url (measured 7.1 → 5.2 s at sf0.1)
+    e = (edges.select("from_url", "to_url")
+         .repartition("from_url")
+         .dropDuplicates(["from_url", "to_url"]))
     outsets = e.groupBy(F.col("from_url").alias("at")) \
         .agg(F.collect_set("to_url").alias("outs"))
     has_inlinks = e.select(F.col("to_url").alias("from_url")).distinct()
