@@ -1173,6 +1173,36 @@ def q_parse_ext(spark, sf):
         F.size("outlinks").alias("n_links"))
 
 
+def q_html_lang(spark, sf):
+    """language-identifier plugin (HTMLLanguageParser.java:88-136)
+    under the default detect,identify policy: docs cycle through the
+    declared-language signals — lang attribute (sv-SE → sv),
+    dc.language meta (English → en), http-equiv content-language
+    (SWE → sv), header-only (fi-FI kept RAW, the reference quirk),
+    and none-declared (falls to the statistical identify stage, the
+    repo's stopword-hit lang_id). The oracle reproduces all five
+    classes plus the identify heuristic from doc_id arithmetic and
+    the same stopword counts as doc_langid."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    i = F.col("doc_id")
+    html = (
+        F.when(i % 5 == 0,
+               F.lit('<html lang="sv-SE"><body>x</body></html>'))
+        .when(i % 5 == 1,
+              F.lit('<html><meta name="dc.language" content="English">'
+                    '<body>x</body></html>'))
+        .when(i % 5 == 2,
+              F.lit('<html><meta http-equiv="content-language" '
+                    'content="SWE"><body>x</body></html>'))
+        .otherwise(F.lit('<html><body>x</body></html>')))
+    content = d.select(
+        _url(i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.when(i % 5 == 3, F.lit("fi-FI")).alias("content_language"),
+        "text")
+    return parse_op.html_language(content)
+
+
 def q_urlmeta_outlinks(spark, sf):
     """urlmeta plugin (URLMetaScoringFilter.java:60-83,
     distributeScoreToOutlinks): the configured parent metadata keys
@@ -1558,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 -------------------------------------------
         "parse_swf": q_parse_swf,
         "parse_ext": q_parse_ext,
+        "html_lang": q_html_lang,
         "parse_replace": q_parse_replace,
         "urlmeta_outlinks": q_urlmeta_outlinks,
         "parse_dispatch_segment": q_parse_dispatch_segment,
@@ -1974,6 +2005,34 @@ SELECT doc_id,
               + LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1)
                       * 5.0, 1.0)) / 4.0, 6) AS quality
 FROM ft""",
+
+        # language-identifier detect/identify policy (see q_html_lang);
+        # class 4's identify stage is the same stopword argmax as
+        # doc_langid, with its ascending-code tie-break
+        "html_lang": r"""
+WITH c AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(the|and|of|to|is|in|that|with)\b')) AS c_en,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS c_de,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(le|la|les|et|est|une|dans|pour)\b')) AS c_fr,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '\b(el|los|que|es|una|por|con|para)\b')) AS c_es
+  FROM documents)
+SELECT 'http://host' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 5 = 0 THEN 'sv'
+            WHEN doc_id % 5 = 1 THEN 'en'
+            WHEN doc_id % 5 = 2 THEN 'sv'
+            WHEN doc_id % 5 = 3 THEN 'fi-FI'
+            WHEN GREATEST(c_en, c_de, c_fr, c_es) <= 0 THEN 'und'
+            WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'fr' END AS lang
+FROM c""",
 
         "doc_langid": r"""
 WITH c AS (

@@ -584,6 +584,56 @@ def parse_metatags(content: DataFrame,
         run, "url string, key string, pos int, value string")
 
 
+def html_language(content: DataFrame,
+                  policy: tuple[str, ...] = ("detect", "identify"),
+                  header_col: str | None = "content_language",
+                  text_col: str | None = "text") -> DataFrame:
+    """language-identifier plugin (HTMLLanguageParser.java:88-119):
+    per-url document language under ``lang.extraction.policy``.
+
+    ``detect`` = declared-language signals (lang attribute >
+    meta dc.language > meta http-equiv content-language, each
+    ISO-639-normalized; raw HTTP Content-Language header as the last
+    fallback — :122-136), Arrow-batched over the html bytes.
+    ``identify`` = the statistical path; the reference's Tika
+    LanguageIdentifier is substituted by this repo's stopword-hit
+    heuristic (``textops.lang_id``, a JVM column over ``text_col``).
+    Policy order decides which result wins (:97-108). Returns
+    ``(url, lang)`` with NULL when no stage resolves.
+
+    Single-pass plan: detect is one scalar Arrow UDF column, identify
+    a JVM column — coalesced in policy order, no join/shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import langid_meta as LM
+    from . import textops
+
+    has_header = header_col is not None and header_col in content.columns
+
+    @pandas_udf("string")
+    def detect_udf(html: pd.Series, head: pd.Series) -> pd.Series:
+        return pd.Series([
+            LM.detect_html_language(
+                bytes(h) if h is not None else None,
+                None if hd is None or (isinstance(hd, float)
+                                       and pd.isna(hd)) else hd)
+            for h, hd in zip(html, head)])
+
+    head_col = (F.col(header_col) if has_header
+                else F.lit(None).cast("string"))
+    stages = {}
+    if "detect" in policy:
+        stages["detect"] = detect_udf(F.col("html"), head_col)
+    if "identify" in policy and text_col is not None \
+            and text_col in content.columns:
+        stages["identify"] = textops.lang_id(F.col(text_col))
+    ordered = [stages[p] for p in policy if p in stages]
+    if not ordered:
+        raise ValueError("lang.extraction.policy selects no stage")
+    return content.select("url", F.coalesce(*ordered).alias("lang"))
+
+
 def parse_headings(content: DataFrame,
                    tags: tuple[str, ...] = ("h1", "h2"),
                    multivalued: bool = False) -> DataFrame:
