@@ -1595,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "automaton_filter": q_automaton_filter,
         # -- module changed since last driver-green row ---------------
         "linkrank": q_linkrank,
+        "loops_detect": q_loops_detect,
+        "linkdb_invert": q_linkdb_invert,
+        "webgraph_degrees": q_webgraph_degrees,
         # -- r03 greens that rotated out of the r04 window ------------
         "crawldb_url": q_crawldb_url,
         "readlinkdb": q_readlinkdb,
@@ -1614,21 +1617,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_headings": q_parse_headings,
         "feed_parse": q_feed_parse,
         "zip_parse": q_zip_parse,
-        "dmoz_parse": q_dmoz_parse,
-        "file_dumper": q_file_dumper,
         "cleaning_job": q_cleaning_job,
         "filter_checker": q_filter_checker,
         "normalizer_checker": q_normalizer_checker,
         "indexer_filters": q_indexer_filters,
         "indexer_geoip": q_indexer_geoip,
         "warc_ingest": q_warc_ingest,
-        "crawldb_dump": q_crawldb_dump,
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_threads": q_fetch_politeness_threads,
         "generate_hostcap": q_generate_hostcap,
         "generate_segments": q_generate_segments,
         "loops_detect": q_loops_detect,
         "dedup_clusters": q_dedup_clusters,
+        # multi-round-stable greens rotated out of the 50-slot window
+        "dmoz_parse": q_dmoz_parse,
+        "file_dumper": q_file_dumper,
+        "crawldb_dump": q_crawldb_dump,
         "linkdb_invert": q_linkdb_invert,
         # ==== driver slot 50 boundary ends here ======================
         # -- multi-round-stable greens (r03+r04), rotated out ---------
