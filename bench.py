@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "dmoz_parse", "file_dumper", "parse_dispatch",
     "similarity_score", "nb_outlink_filter", "cc_license",
     "duplicate_spans", "dedup_substrings",
+    # round 5: SWF codec + declared-language detection. parse_ext is
+    # deliberately NOT benched — it execs one subprocess per document
+    # by contract (the reference's CommandRunner), which measures
+    # fork latency, not engine throughput.
+    "parse_swf", "html_lang",
 ]
 
 
