@@ -1173,6 +1173,20 @@ def q_parse_ext(spark, sf):
         F.size("outlinks").alias("n_links"))
 
 
+def q_parse_pdf(spark, sf):
+    """REAL PDF parsing (the parse-tika PDF path, TikaParser.java:
+    71-120): docs → deterministic one-page PDFs (two text lines; even
+    ids FlateDecode, odd ids raw streams) → parse_pdfs → one row per
+    document. The codec is golden-verified against the reference's
+    pdftest.pdf AND RC4-encrypted encrypted.pdf samples
+    (tests/test_pdfparse.py); here the oracle recomputes the text and
+    the truncation gate from doc_id arithmetic (ASCII corpus, the
+    builder/extractor escape round-trip is identity)."""
+    from nutch_spark.operators import pdf as pdf_op
+    d = _docs(spark, sf).select("doc_id", "text")
+    return pdf_op.parse_pdfs(pdf_op.make_pdf_blobs(d), CFG)
+
+
 def q_html_lang(spark, sf):
     """language-identifier plugin (HTMLLanguageParser.java:88-136)
     under the default detect,identify policy: docs cycle through the
@@ -1593,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlmeta_outlinks": q_urlmeta_outlinks,
         "parse_dispatch_segment": q_parse_dispatch_segment,
         "automaton_filter": q_automaton_filter,
+        "parse_pdf": q_parse_pdf,
         # -- module changed since last driver-green row ---------------
         "linkrank": q_linkrank,
         "loops_detect": q_loops_detect,
@@ -2327,6 +2342,20 @@ SELECT 'http://swf.test/m' || CAST(doc_id AS VARCHAR) || '.swf' AS url,
        CAST(CASE WHEN doc_id % 13 = 0 THEN 0
                  WHEN doc_id % 11 = 0 THEN 3 ELSE 2 END AS INT)
          AS n_links
+FROM documents""",
+
+        # parse-pdf round trip: text / truncation gate from doc_id
+        # arithmetic (see q_parse_pdf); the codec is golden-verified
+        # separately against the reference's pdftest.pdf/encrypted.pdf
+        "parse_pdf": """
+SELECT 'http://pdfs.test/d' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       '' AS title,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' alpha'
+                 || chr(10) || text
+       END AS text
 FROM documents""",
 
         # parse-ext round trip: tr/cat external commands, gates and

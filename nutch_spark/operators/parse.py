@@ -286,6 +286,7 @@ PARSE_ROUTES = {
     "feed": ("application/rss+xml", "application/atom+xml"),
     "zip": ("application/zip",),
     "swf": ("application/x-shockwave-flash",),
+    "pdf": ("application/pdf",),
     "text": ("text/plain",),
 }
 
@@ -356,6 +357,14 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
         "text",
         F.size(F.coalesce(F.col("outlinks"), F.array()))
          .alias("n_outlinks")))
+
+    from . import pdf as pdf_op
+    pdfs = (content.where(mime.isin(*PARSE_ROUTES["pdf"]))
+            .select("url", F.col("html").alias("content")))
+    pp = pdf_op.parse_pdfs(pdfs, cfg, length_col=None)
+    outs.append(pp.select(
+        "url", F.lit("parse-pdf").alias("parser"), "status", "title",
+        "text", F.lit(0).cast("int").alias("n_outlinks")))
 
     outs.append(content.where(mime.isin(*PARSE_ROUTES["text"])).select(
         "url", F.lit("text-plain").alias("parser"),

@@ -179,6 +179,11 @@ def test_outlink_edges(spark, fixture):
     assert edges.count() > 0
 
 
+def _mini_pdf() -> bytes:
+    from nutch_spark.functions.pdfparse import build_pdf
+    return build_pdf(["pdf body"], compress=False)
+
+
 def test_parse_dispatch_routes(spark):
     """ParseUtil/parse-plugins.xml routing (ParseUtil.java:74-110):
     html → DOMContentUtils extraction, rss → feed plugin, zip →
@@ -205,7 +210,8 @@ def test_parse_dispatch_routes(spark):
         ("http://a.ex/f", rss, "application/rss+xml"),
         ("http://a.ex/z", buf.getvalue(), "application/zip"),
         ("http://a.ex/t", b"plain  text", "text/plain"),
-        ("http://a.ex/x", b"\x00\x01", "application/pdf"),
+        ("http://a.ex/p", _mini_pdf(), "application/pdf"),
+        ("http://a.ex/x", b"\x00\x01", "application/x-unknown"),
     ]
     content = spark.createDataFrame(
         [(u, bytearray(b), m) for u, b, m in rows],
@@ -221,6 +227,8 @@ def test_parse_dispatch_routes(spark):
     assert z.status == "success" and "zipped words" in z.text
     t = got[("http://a.ex/t", "text-plain")]
     assert t.text == "plain  text" and t.title == ""
+    p = got[("http://a.ex/p", "parse-pdf")]
+    assert p.status == "success" and "pdf body" in p.text
     x = got[("http://a.ex/x", None)]
     assert x.status == "failed_parser_not_found"
 

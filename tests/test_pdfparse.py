@@ -1,0 +1,80 @@
+"""parse-tika PDF-path analog: the reference's own sample vectors
+(plain + RC4-encrypted), builder round-trips, operator contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.pdfparse import PdfError, build_pdf, pdf_extract
+
+SAMPLES = "/root/reference/src/plugin/parse-tika/sample"
+EXPECTED = "A VERY SMALL PDF FILE"      # TestPdfParser.java:49
+
+
+@pytest.mark.parametrize("name", ["pdftest.pdf", "encrypted.pdf"])
+def test_reference_sample_vectors(name):
+    """TestPdfParser.java:57-70: the expected text must appear in the
+    extraction of BOTH the plain and the Standard-handler (V1/R3 RC4,
+    empty user password) encrypted sample."""
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("reference samples not available")
+    with open(f"{SAMPLES}/{name}", "rb") as f:
+        data = f.read()
+    assert EXPECTED in pdf_extract(data)["text"]
+
+
+def test_builder_roundtrip():
+    b = build_pdf(["first line", "second (with) parens \\ and more"])
+    assert pdf_extract(b)["text"] == \
+        "first line\nsecond (with) parens \\ and more"
+    b2 = build_pdf(["uncompressed body"], compress=False)
+    assert pdf_extract(b2)["text"] == "uncompressed body"
+
+
+def test_kerned_split_concatenates():
+    # the pdftest.pdf pattern: (A VERY SMALL PDF FIL) Tj (E) Tj on one
+    # line reads back whole
+    content = b"BT\r(A FIL) Tj\r0.1 Tc (E) Tj\rET"
+    import zlib
+    body = content
+    pdf = build_pdf(["x"])  # shape a valid container, then swap stream
+    from nutch_spark.functions.pdfparse import _extract_text
+    assert _extract_text(body) == "A FILE"
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError):
+        pdf_extract(b"GIF89a nope")
+
+
+def test_parse_pdfs_operator(spark):
+    from nutch_spark.operators.pdf import make_pdf_blobs, parse_pdfs
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i}") for i in range(15)],
+        "doc_id long, text string")
+    out = {r["url"]: r
+           for r in parse_pdfs(make_pdf_blobs(docs),
+                               CrawlConfig()).collect()}
+    assert len(out) == 15
+    r1 = out["http://pdfs.test/d1.pdf"]
+    assert r1["status"] == "success" and r1["title"] == ""
+    assert r1["text"] == "Doc 1 alpha\nbody text 1"
+    r2 = out["http://pdfs.test/d2.pdf"]        # compressed path
+    assert r2["text"] == "Doc 2 alpha\nbody text 2"
+    assert out["http://pdfs.test/d0.pdf"]["status"] == "failed_truncated"
+    assert out["http://pdfs.test/d13.pdf"]["status"] == "failed_truncated"
+
+
+def test_dispatch_routes_pdf(spark):
+    from nutch_spark.operators.parse import parse_dispatch
+
+    blob = build_pdf(["pdf text here"])
+    content = spark.createDataFrame(
+        [("http://a.test/x.pdf", bytearray(blob), "application/pdf")],
+        "url string, html binary, mime_type string")
+    rows = parse_dispatch(content, CrawlConfig(), 0).collect()
+    assert rows[0]["parser"] == "parse-pdf"
+    assert rows[0]["text"] == "pdf text here"
