@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     # deliberately NOT benched — it execs one subprocess per document
     # by contract (the reference's CommandRunner), which measures
     # fork latency, not engine throughput.
-    "parse_swf", "html_lang",
+    "parse_swf", "html_lang", "parse_pdf",
 ]
 
 
