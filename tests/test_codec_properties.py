@@ -14,6 +14,22 @@ url_st = st.from_regex(r"http://[a-z0-9]{1,10}\.test/[a-z0-9/]{0,20}",
                        fullmatch=True)
 payload_st = st.binary(min_size=0, max_size=512)
 
+# printable-ASCII, stripped, non-empty: the extractor strips each
+# shown line and drops blanks (pdfparse._extract_text.flush), so the
+# round-trip identity is defined over this domain (incl. ()\\ escapes)
+_pdf_line = (st.text(st.characters(min_codepoint=0x20,
+                                   max_codepoint=0x7E),
+                     min_size=1, max_size=80)
+             .map(str.strip).filter(bool))
+
+
+@given(st.lists(_pdf_line, min_size=1, max_size=8), st.booleans())
+def test_pdf_roundtrip_any_lines(lines, compress):
+    from nutch_spark.functions.pdfparse import build_pdf, pdf_extract
+    assert pdf_extract(build_pdf(lines,
+                                 compress=compress))["text"] \
+        == "\n".join(lines)
+
 
 @given(st.lists(st.tuples(url_st, payload_st), min_size=1, max_size=5),
        st.booleans())
