@@ -1641,17 +1641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_threads": q_fetch_politeness_threads,
         "generate_hostcap": q_generate_hostcap,
+        # ==== driver slot 50 boundary: generate_hostcap is slot 49 ===
+        # -- multi-round-stable greens (r03+r04), rotated out ---------
         "generate_segments": q_generate_segments,
-        "loops_detect": q_loops_detect,
         "dedup_clusters": q_dedup_clusters,
-        # multi-round-stable greens rotated out of the 50-slot window
         "dmoz_parse": q_dmoz_parse,
         "file_dumper": q_file_dumper,
         "crawldb_dump": q_crawldb_dump,
-        "linkdb_invert": q_linkdb_invert,
-        # ==== driver slot 50 boundary ends here ======================
-        # -- multi-round-stable greens (r03+r04), rotated out ---------
-        "webgraph_degrees": q_webgraph_degrees,
         "dedup_substrings": q_dedup_substrings,
         "generate_topn": q_generate_topn,
         "inject_new": q_inject_new,
