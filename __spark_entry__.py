@@ -1187,6 +1187,51 @@ def q_parse_pdf(spark, sf):
     return pdf_op.parse_pdfs(pdf_op.make_pdf_blobs(d), CFG)
 
 
+def q_parse_oo(spark, sf):
+    """REAL OpenDocument parsing (the parse-tika OO path,
+    TestOOParser.java:61-85): docs → deterministic ODT/SXW containers
+    (even ids ODF namespace, odd ids OpenOffice-1.0) → parse_oo → one
+    row per document. The codec is golden-verified against the
+    reference's ootest.odt AND ootest.sxw samples
+    (tests/test_msoffice.py); the oracle recomputes text / title /
+    truncation gate from doc_id arithmetic (ASCII-sanitized corpus,
+    builder/extractor XML round-trip is identity)."""
+    from nutch_spark.operators import msoffice as ms_op
+    d = _docs(spark, sf).select("doc_id", "text")
+    return ms_op.parse_oo(ms_op.make_oo_blobs(d), CFG)
+
+
+def q_parse_rtf(spark, sf):
+    """REAL RTF parsing (the parse-tika RTF path,
+    TestRTFParser.java:58-80 — title/subject from the info block):
+    docs → deterministic RTF documents → parse_rtf. Codec
+    golden-verified against the reference's test.rtf sample."""
+    from nutch_spark.operators import msoffice as ms_op
+    d = _docs(spark, sf).select("doc_id", "text")
+    return ms_op.parse_rtf(ms_op.make_rtf_blobs(d), CFG)
+
+
+def q_parse_msword(spark, sf):
+    """REAL Word-97 parsing (the parse-tika MSWord path,
+    TestMSWordParser.java:73-89): docs → real compound files (CFB
+    mini stream + FIB + piece table) → parse_msword. Codec
+    golden-verified against the reference's word97.doc sample."""
+    from nutch_spark.operators import msoffice as ms_op
+    d = _docs(spark, sf).select("doc_id", "text")
+    return ms_op.parse_msword(ms_op.make_doc_blobs(d), CFG)
+
+
+def q_image_meta(spark, sf):
+    """Image metadata extraction (the parse-tika image path,
+    TestImageMetadata.java:53-66 — width/height as parse metadata,
+    no text): docs → real GIF/PNG/BMP headers → parse_images.
+    Dimension reader golden-verified against the reference's
+    nutch_logo_tm.gif (121×48)."""
+    from nutch_spark.operators import msoffice as ms_op
+    d = _docs(spark, sf).select("doc_id")
+    return ms_op.parse_images(ms_op.make_image_blobs(d), CFG)
+
+
 def q_html_lang(spark, sf):
     """language-identifier plugin (HTMLLanguageParser.java:88-136)
     under the default detect,identify policy: docs cycle through the
@@ -1608,6 +1653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dispatch_segment": q_parse_dispatch_segment,
         "automaton_filter": q_automaton_filter,
         "parse_pdf": q_parse_pdf,
+        "parse_oo": q_parse_oo,
+        "parse_rtf": q_parse_rtf,
+        "parse_msword": q_parse_msword,
+        "image_meta": q_image_meta,
         # -- module changed since last driver-green row ---------------
         "linkrank": q_linkrank,
         "loops_detect": q_loops_detect,
@@ -2352,6 +2401,60 @@ SELECT 'http://pdfs.test/d' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
             ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' alpha'
                  || chr(10) || text
        END AS text
+FROM documents""",
+        # parse-oo / parse-rtf / parse-msword / image-meta round
+        # trips: text / metadata / gate from doc_id arithmetic (the
+        # builders ASCII-sanitize their input; the corpus is ASCII,
+        # the sanitize is mirrored here exactly)
+        "parse_oo": """
+SELECT 'http://oo.test/d' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.odt' ELSE '.sxw' END AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'en-US' END AS lang,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'OO doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')
+       END AS text
+FROM documents""",
+        "parse_rtf": """
+SELECT 'http://rtf.test/d' || CAST(doc_id AS VARCHAR) || '.rtf' AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'subj' || CAST(doc_id % 7 AS VARCHAR) END AS subject,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'RTF doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')
+                 || chr(10)
+       END AS text
+FROM documents""",
+        "parse_msword": """
+SELECT 'http://docs.test/d' || CAST(doc_id AS VARCHAR) || '.doc' AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'failed_truncated'
+            ELSE 'success' END AS status,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE 'Word doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')
+                 || chr(10)
+       END AS text
+FROM documents""",
+        "image_meta": """
+SELECT 'http://img.test/d' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 11 = 0 THEN 'failed'
+            ELSE 'success' END AS status,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'image/gif'
+            WHEN doc_id % 3 = 1 THEN 'image/png'
+            ELSE 'image/bmp' END AS mime,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE CAST(doc_id % 200 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE CAST(doc_id % 100 + 1 AS INT) END AS height
 FROM documents""",
 
         # parse-ext round trip: tr/cat external commands, gates and

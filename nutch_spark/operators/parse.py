@@ -287,6 +287,11 @@ PARSE_ROUTES = {
     "zip": ("application/zip",),
     "swf": ("application/x-shockwave-flash",),
     "pdf": ("application/pdf",),
+    "oo": ("application/vnd.oasis.opendocument.text",
+           "application/vnd.sun.xml.writer"),
+    "rtf": ("application/rtf", "text/rtf"),
+    "msword": ("application/msword",),
+    "image": ("image/gif", "image/png", "image/jpeg", "image/bmp"),
     "text": ("text/plain",),
 }
 
@@ -365,6 +370,40 @@ def parse_dispatch(content: DataFrame, cfg: CrawlConfig, now_ms: int,
     outs.append(pp.select(
         "url", F.lit("parse-pdf").alias("parser"), "status", "title",
         "text", F.lit(0).cast("int").alias("n_outlinks")))
+
+    # parse-tika document/image paths: OO, RTF, Word-97, image
+    # metadata (each codec golden-verified against the plugin's own
+    # sample files; none yields outlinks on the Tika path)
+    from . import msoffice as ms_op
+    oos = (content.where(mime.isin(*PARSE_ROUTES["oo"]))
+           .select("url", F.col("html").alias("content")))
+    op = ms_op.parse_oo(oos, cfg, length_col=None)
+    outs.append(op.select(
+        "url", F.lit("parse-oo").alias("parser"), "status", "title",
+        "text", F.lit(0).cast("int").alias("n_outlinks")))
+
+    rtfs = (content.where(mime.isin(*PARSE_ROUTES["rtf"]))
+            .select("url", F.col("html").alias("content")))
+    rp = ms_op.parse_rtf(rtfs, cfg, length_col=None)
+    outs.append(rp.select(
+        "url", F.lit("parse-rtf").alias("parser"), "status", "title",
+        "text", F.lit(0).cast("int").alias("n_outlinks")))
+
+    docs_ = (content.where(mime.isin(*PARSE_ROUTES["msword"]))
+             .select("url", F.col("html").alias("content")))
+    dp = ms_op.parse_msword(docs_, cfg, length_col=None)
+    outs.append(dp.select(
+        "url", F.lit("parse-msword").alias("parser"), "status",
+        F.lit("").alias("title"), "text",
+        F.lit(0).cast("int").alias("n_outlinks")))
+
+    imgs = (content.where(mime.isin(*PARSE_ROUTES["image"]))
+            .select("url", F.col("html").alias("content")))
+    ip = ms_op.parse_images(imgs, cfg, length_col=None)
+    outs.append(ip.select(
+        "url", F.lit("parse-image").alias("parser"), "status",
+        F.lit("").alias("title"), F.lit("").alias("text"),
+        F.lit(0).cast("int").alias("n_outlinks")))
 
     outs.append(content.where(mime.isin(*PARSE_ROUTES["text"])).select(
         "url", F.lit("text-plain").alias("parser"),
