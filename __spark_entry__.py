@@ -993,7 +993,7 @@ def q_parse_dispatch_segment(spark, sf):
     i = F.col("doc_id")
     mime = F.when(i % 3 == 0, "text/html") \
         .when(i % 3 == 1, "text/plain") \
-        .otherwise("application/pdf")
+        .otherwise("application/octet-stream")
     content = d.select(
         _url(i).alias("url"),
         F.encode(F.col("text"), "UTF-8").alias("html"),

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     # by contract (the reference's CommandRunner), which measures
     # fork latency, not engine throughput.
     "parse_swf", "html_lang", "parse_pdf",
+    # round 5: remaining tika document paths (OO/RTF/Word-97 codecs,
+    # header-only image metadata)
+    "parse_oo", "parse_rtf", "parse_msword", "image_meta",
 ]
 
 

@@ -575,6 +575,57 @@ def parse_segment_dispatch(content: DataFrame, cfg: CrawlConfig,
                                            F.col("_bsig"), mtl, qr))
           .select(*slim[:-1], F.col("kind").alias("_kind")))
 
+    # tika document/media families — canonical one-row-per-document
+    # parses: swf carries real outlinks (getURL actions), pdf/oo/rtf/
+    # msword are text-only, images contribute an empty-text parse
+    # whose signature datum still reaches the crawldb (the reference
+    # TikaParser emits ParseData for every succeeding mime;
+    # failed/truncated rows are dropped like every other family).
+    # Same join shape as zip: parse rows keyed at the doc url, attrs
+    # + parent-md5 join back 1:1, page bytes stay out of the join.
+    def _doc_family(fam: str, parse_fn, text_col, title_col,
+                    has_links: bool):
+        famc = content.where(mime.isin(*PARSE_ROUTES[fam]))
+        pf = parse_fn(famc.select(
+            "url", F.col("html").alias("content")))
+        fslim_ = famc.select("url", *attrs,
+                             F.md5("html").alias("_bsig"))
+        j = pf.where(F.col("status") == "success").join(fslim_, "url")
+        text = (F.coalesce(F.col(text_col), F.lit(""))
+                if text_col else F.lit(""))
+        title = (F.coalesce(F.col(title_col), F.lit(""))
+                 if title_col else F.lit(""))
+        links = (F.coalesce(F.col("outlinks"),
+                            F.array().cast(links_t)).cast(links_t)
+                 if has_links else F.array().cast(links_t))
+        return (j.withColumn("_p", struct_p(text, title, links, null_s))
+                 .withColumn("signature",
+                             _sig_from_parent_md5(cfg.signature_kind,
+                                                  text, F.col("_bsig"),
+                                                  mtl, qr))
+                 .select(*slim[:-1], canonical))
+
+    from . import msoffice as ms_op
+    from . import pdf as pdf_op
+    from . import swf as swf_op
+    for fam, fn, text_col, title_col, has_links in (
+            ("swf", lambda b: swf_op.parse_swfs(b, cfg, length_col=None),
+             "text", "title", True),
+            ("pdf", lambda b: pdf_op.parse_pdfs(b, cfg, length_col=None),
+             "text", "title", False),
+            ("oo", lambda b: ms_op.parse_oo(b, cfg, length_col=None),
+             "text", "title", False),
+            ("rtf", lambda b: ms_op.parse_rtf(b, cfg, length_col=None),
+             "text", "title", False),
+            ("msword", lambda b: ms_op.parse_msword(b, cfg,
+                                                    length_col=None),
+             "text", None, False),
+            ("image", lambda b: ms_op.parse_images(b, cfg,
+                                                   length_col=None),
+             None, None, False)):
+        frames.append(_doc_family(fam, fn, text_col, title_col,
+                                  has_links))
+
     parsed = frames[0]
     for fr in frames[1:]:
         parsed = parsed.unionByName(fr)

@@ -5,15 +5,23 @@ bin/crawl:232-236): html pages parse on the HtmlParser path, feeds
 yield non-canonical per-entry sub-parses whose ``fetch_success``
 datums enter the crawldb (ParseOutputFormat.java:285-297), zip
 archives yield one canonical parse whose accumulated outlinks are
-discovered, text/plain decodes trivially, and unknown mimetypes are
-dropped from every parse output (ParseSegment.java:100-108)."""
+discovered, text/plain decodes trivially, the tika document/image
+families (PDF/ODT/RTF/DOC/GIF) yield canonical text or metadata-only
+parses, and unknown mimetypes are dropped from every parse output
+(ParseSegment.java:100-108)."""
+
+import struct
 
 import pyspark.sql.functions as F
 import pytest
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.crawl import CrawlRun
+from nutch_spark.functions.docparse import build_doc
 from nutch_spark.functions.feedparse import Feed, FeedEntry, encode_rss
+from nutch_spark.functions.ooparse import build_odt
+from nutch_spark.functions.pdfparse import build_pdf
+from nutch_spark.functions.rtfparse import build_rtf
 from nutch_spark.functions.ziparse import encode_zip
 
 START = 1_700_000_000_000
@@ -41,13 +49,26 @@ def mixed(spark):
     rows = [
         (f"{SITE}/p0",
          _html("Root", [f"{SITE}/feed", f"{SITE}/archive",
-                        f"{SITE}/notes", f"{SITE}/doc", f"{SITE}/p1"]),
+                        f"{SITE}/notes", f"{SITE}/doc", f"{SITE}/p1",
+                        f"{SITE}/report", f"{SITE}/memo",
+                        f"{SITE}/readme", f"{SITE}/word",
+                        f"{SITE}/logo"]),
          "text/html"),
         (f"{SITE}/p1", _html("Leaf", []), "text/html"),
         (f"{SITE}/feed", feed_blob, "application/rss+xml"),
         (f"{SITE}/archive", zip_blob, "application/zip"),
         (f"{SITE}/notes", b"plain notes body", "text/plain"),
-        (f"{SITE}/doc", b"%PDF-1.4 fake", "application/pdf"),
+        (f"{SITE}/doc", b"\x00\x01 unknown blob", "application/octet-stream"),
+        # tika document/image families (cycle-routed in round 5)
+        (f"{SITE}/report", build_pdf(["pdf body text"]),
+         "application/pdf"),
+        (f"{SITE}/memo", build_odt(["odt body"], title="Memo"),
+         "application/vnd.oasis.opendocument.text"),
+        (f"{SITE}/readme", build_rtf(["rtf body"]), "application/rtf"),
+        (f"{SITE}/word", build_doc(["word body"]), "application/msword"),
+        (f"{SITE}/logo",
+         b"GIF89a" + struct.pack("<HH", 12, 7) + b"\xf7\x00\x00"
+         + b"\x00" * 6 + b"\x3b", "image/gif"),
     ]
     pages = spark.createDataFrame(
         [(u, None, b, None, "en", m) for u, b, m in rows],
@@ -119,6 +140,15 @@ def test_per_family_parse_rows(spark, run_db):
     # ...but the doc WAS fetched — only the parse dropped it
     st = {r.url: r.status for r in db.collect()}
     assert st.get(f"{SITE}/doc") == "db_fetched"
+    # tika document families: one canonical parse row each, image
+    # rows carry an empty text (metadata-only parse)
+    assert texts.get(f"{SITE}/report") == "pdf body text"
+    assert texts.get(f"{SITE}/memo") == "odt body"
+    assert texts.get(f"{SITE}/readme") == "rtf body\n"
+    assert texts.get(f"{SITE}/word") == "word body\n"
+    assert texts.get(f"{SITE}/logo") == ""
+    for u in ("report", "memo", "readme", "word", "logo"):
+        assert st.get(f"{SITE}/{u}") == "db_fetched", u
 
 
 def test_zip_outlinks_in_parse_data(spark, run_db):
