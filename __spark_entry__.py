@@ -1686,12 +1686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalizer_checker": q_normalizer_checker,
         "indexer_filters": q_indexer_filters,
         "indexer_geoip": q_indexer_geoip,
+        # ==== driver slot 50 boundary: indexer_geoip is slot 49 ======
+        # -- multi-round-stable greens (r03+r04), rotated out ---------
         "warc_ingest": q_warc_ingest,
         "fetch_politeness": q_fetch_politeness,
         "fetch_politeness_threads": q_fetch_politeness_threads,
         "generate_hostcap": q_generate_hostcap,
-        # ==== driver slot 50 boundary: generate_hostcap is slot 49 ===
-        # -- multi-round-stable greens (r03+r04), rotated out ---------
         "generate_segments": q_generate_segments,
         "dedup_clusters": q_dedup_clusters,
         "dmoz_parse": q_dmoz_parse,
