@@ -61,6 +61,18 @@ def test_atom_round_trip():
     assert e.updated_ms == 1704070800000
 
 
+def test_reference_rss_sample_parity():
+    """The parse-tika feed sample (rsstest.rss, RSS 0.91 / ISO-8859-1):
+    TestFeedParser.java:96-116 pins exactly two outlinks — the two item
+    links (Tika ignores the channel URL/description)."""
+    raw = open("/root/reference/src/plugin/parse-tika/sample/"
+               "rsstest.rss", "rb").read()
+    f = FP.parse_feed(raw)
+    assert f.title == "TestChannel"
+    assert [e.link for e in f.entries] == \
+        ["http://www-scf.usc.edu/~mattmann/", "http://www.nutch.org/"]
+
+
 def test_not_a_feed_raises():
     with pytest.raises(ValueError):
         FP.parse_feed(b"<html><body>nope</body></html>")
