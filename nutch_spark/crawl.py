@@ -380,6 +380,21 @@ class CrawlRun:
             self._metric(rnd, "linkrank", rows=ranks.count(),
                          sec=time.time() - t0)
 
+        # stage (durable, uncommitted) — the crawldb snapshot is the
+        # resume marker, so its COMMIT must be the round's last write:
+        # a crash after the commit but before linkdb/bloom would
+        # otherwise mark the round done with those products missing.
+        # Staging happens AFTER the linkrank branch so link-scoring
+        # mode pays exactly ONE bucketed write of the 10^10-row table
+        # per round (it used to stage pre- and post-score-update), and
+        # BEFORE the index branch so docs/deletes scan the staged table
+        # instead of re-executing the updatedb+dedup subtree per write.
+        t0 = time.time()
+        new_db = self._stage_crawldb(new_db, rnd)
+        n_db = self._rows_or_count(new_db)
+        self._metric(rnd, "updatedb", rows=n_db,
+                     sec=t_updatedb + time.time() - t0)
+
         # per-round index + clean (bin/crawl:249-256, INDEXFLAG): the
         # IndexingJob's doc emission over this round's crawldb ∪ linkdb
         # ∪ segment, plus the delete stream (IndexerMapReduce delete
@@ -401,19 +416,6 @@ class CrawlRun:
             self._metric(rnd, "index", rows=self._rows_or_count(docs),
                          sec=time.time() - t0)
 
-        # stage (durable, uncommitted) — the crawldb snapshot is the
-        # resume marker, so its COMMIT must be the round's last write:
-        # a crash after the commit but before linkdb/bloom would
-        # otherwise mark the round done with those products missing.
-        # Staging happens AFTER the linkrank branch so link-scoring
-        # mode pays exactly ONE bucketed write of the 10^10-row table
-        # per round (it used to stage pre- and post-score-update).
-        t0 = time.time()
-        new_db = self._stage_crawldb(new_db, rnd)
-        n_db = self._rows_or_count(new_db)
-        self._metric(rnd, "updatedb", rows=n_db,
-                     sec=t_updatedb + time.time() - t0)
-
         if self.use_bloom:
             self._write_bloom(new_db, rnd)
 
@@ -424,8 +426,8 @@ class CrawlRun:
         # release the within-round reuse caches (fetch schedule, parse
         # output): every consumer has materialized by now, and persisted
         # blocks would otherwise accumulate across rounds in one session
-        for cached in (fr.get("schedule"), pr.get("parsed"), messages,
-                       merge_cached):
+        for cached in (fr.get("schedule"), pr.get("parsed"),
+                       pr.get("content_cache"), messages, merge_cached):
             if cached is not None:
                 cached.unpersist()
 

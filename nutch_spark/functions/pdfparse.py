@@ -124,7 +124,9 @@ def _extract_text(content: bytes) -> str:
             line.clear()
 
     i, n = 0, len(content)
-    last_str: str | None = None
+    # strings seen since the last operator: one for Tj/'/", any number
+    # for a [ (..) kern (..) ] TJ array — ALL of them show, in order
+    pending: list[str] = []
     while i < n:
         c = content[i]
         if c == 0x28:                    # ( literal string
@@ -159,13 +161,13 @@ def _extract_text(content: bytes) -> str:
                         break
                 buf.append(ch)
                 i += 1
-            last_str = buf.decode("latin-1")
+            pending.append(buf.decode("latin-1"))
             continue
         if c == 0x3C and i + 1 < n and content[i + 1] != 0x3C:  # <hex>
             end = content.find(b">", i)
             if end < 0:
                 break
-            last_str = _hexstr(content[i + 1:end]).decode("latin-1")
+            pending.append(_hexstr(content[i + 1:end]).decode("latin-1"))
             i = end + 1
             continue
         if c == 0x5B:                    # [ ... ] TJ array: strings only
@@ -176,22 +178,20 @@ def _extract_text(content: bytes) -> str:
         if m:
             op = m.group(0)
             if op in (b"Tj", b"TJ"):
-                if last_str is not None:
-                    line.append(last_str)
+                line.extend(pending)
             elif op in (b"'", b'"'):
                 flush()
-                if last_str is not None:
-                    line.append(last_str)
+                line.extend(pending)
             elif op in (b"Td", b"TD", b"T*", b"Tm", b"ET", b"BT"):
                 flush()
             i += len(op)
-            last_str = None
+            pending.clear()
             continue
         if c == 0x29 or c == 0x5D:
             i += 1
             continue
         # numbers / names / whitespace: within a TJ array, string
-        # elements already landed in last_str and are emitted at TJ
+        # elements already landed in pending and are emitted at TJ
         if c == 0x2F:                    # /Name
             m2 = re.match(rb"/[^\s/<>\[\]()]*", content[i:])
             i += len(m2.group(0)) if m2 else 1

@@ -79,6 +79,8 @@ class NutchService:
         self.runs: dict[str, object] = {}   # crawl_id -> CrawlRun
         self._seq = 0
         self._lock = threading.Lock()
+        self._crawl_locks: dict[str, threading.Lock] = {}
+        self._run_conf: dict[str, str] = {}   # crawl_id -> confId bound
         self.stopping = False
 
     # --- config manager (ConfManager.java) ---------------------------
@@ -125,7 +127,26 @@ class NutchService:
                 self.spark, os.path.join(self.base, "crawls", crawl_id),
                 self.configs[cid], self.pages, self.robots,
                 self.http_status)
+            self._run_conf[crawl_id] = cid
+        elif self._run_conf.get(crawl_id) != cid:
+            # a CrawlRun is bound to one config for its lifetime;
+            # silently executing under the cached config would discard
+            # the caller's requested settings (the reference rebuilds
+            # per-job Hadoop confs from the JobConfig's confId)
+            raise ValueError(
+                f"crawlId {crawl_id!r} is bound to confId "
+                f"{self._run_conf[crawl_id]!r}; submit with that confId "
+                f"or use a new crawlId for config {cid!r}")
         return self.runs[crawl_id]
+
+    def _crawl_lock(self, crawl_id: str) -> threading.Lock:
+        # mutating jobs (INJECT/ROUND) serialize per crawl: the crawldb
+        # snapshot install is single-writer (stage → rename → commit
+        # marker), so two concurrent ROUNDs on one crawl must queue —
+        # the second then sees resume_round() advanced and runs N+2
+        with self._lock:
+            return self._crawl_locks.setdefault(crawl_id,
+                                                threading.Lock())
 
     def job_create(self, crawl_id: str, jtype: str, cid: str,
                    args: dict) -> dict:
@@ -166,11 +187,13 @@ class NutchService:
             seed_path = args["url_dir"]    # JobConfig args, as reference
             seeds = self.spark.read.text(seed_path) \
                 .withColumnRenamed("value", "line")
-            db = run.inject(seeds, now)
-            return {"crawldb_rows": db.count()}
+            with self._crawl_lock(job.crawl_id):
+                db = run.inject(seeds, now)
+                return {"crawldb_rows": db.count()}
         if job.type == "ROUND":
-            rnd = run.resume_round() + 1
-            stats = run.run_round(rnd, now + rnd * 24 * 3600 * 1000)
+            with self._crawl_lock(job.crawl_id):
+                rnd = run.resume_round() + 1
+                stats = run.run_round(rnd, now + rnd * 24 * 3600 * 1000)
             return {"round": rnd, **{k: v for k, v in stats.items()
                                      if isinstance(v, (int, float))}}
         if job.type == "READDB":

@@ -44,6 +44,16 @@ def test_kerned_split_concatenates():
     assert _extract_text(body) == "A FILE"
 
 
+def test_tj_array_emits_every_string():
+    # real producers emit kerned arrays: [ (Hello ) -120 (World) ] TJ
+    # — every string element shows, in order, not just the last
+    from nutch_spark.functions.pdfparse import _extract_text
+    assert _extract_text(b"BT [(Hello ) -120 (World)] TJ ET") == \
+        "Hello World"
+    assert _extract_text(
+        b"BT [(a) 1 (b) 2 (c)] TJ T* [<64> 3 <65>] TJ ET") == "abc\nde"
+
+
 def test_not_a_pdf_raises():
     with pytest.raises(PdfError):
         pdf_extract(b"GIF89a nope")

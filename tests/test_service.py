@@ -122,3 +122,32 @@ def test_db_resource_and_admin(server):
     assert code == 200
     assert {j["state"] for j in admin["jobs"]} == {"FINISHED"}
     assert admin["runningJobs"] == []
+
+
+def test_conf_binding_is_enforced(server):
+    """A crawl is bound to the confId that created its CrawlRun; a job
+    naming a different confId FAILS loudly instead of silently running
+    under the cached config."""
+    port, _, _ = server
+    code, job = _req(port, "/job/create",
+                     {"crawlId": "c1", "type": "ROUND",
+                      "confId": "fast"})
+    assert code == 200                    # job accepted, fails async
+    info = _wait_job(port, job["id"])
+    assert info["state"] == "FAILED"
+    assert "bound to confId 'default'" in info["msg"]
+
+
+def test_concurrent_rounds_serialize(server):
+    """Two ROUND submissions racing on one crawl queue behind the
+    per-crawl lock: the snapshot install is single-writer, so they run
+    as consecutive rounds, never the same round twice."""
+    port, _, _ = server
+    _, j1 = _req(port, "/job/create",
+                 {"crawlId": "c1", "type": "ROUND", "confId": "default"})
+    _, j2 = _req(port, "/job/create",
+                 {"crawlId": "c1", "type": "ROUND", "confId": "default"})
+    i1 = _wait_job(port, j1["id"])
+    i2 = _wait_job(port, j2["id"])
+    assert i1["state"] == i2["state"] == "FINISHED", (i1, i2)
+    assert {i1["result"]["round"], i2["result"]["round"]} == {2, 3}
