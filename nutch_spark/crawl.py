@@ -403,16 +403,9 @@ class CrawlRun:
         # sink (SURVEY §2.7 IndexerMapReduce row)
         if cfg.index_enabled:
             t0 = time.time()
-            from .operators import readers
-            cf_slim = crawl_fetch.drop("queue_id", "virtual_time")
-            docs = readers.indexer_docs(new_db, ldb, parse_text,
-                                        parse_data, cf_slim, cfg)
-            docs = self._write(docs, "indexes/docs", rnd)
-            dels = readers.indexer_deletes(new_db, parse_data, cf_slim,
-                                           cfg)
-            deletes = dels.unionByName(readers.cleaning_job(new_db)) \
-                .distinct()
-            self._write(deletes, "indexes/deletes", rnd)
+            docs, _ = self._index_products(
+                rnd, new_db, ldb, parse_text, parse_data,
+                crawl_fetch.drop("queue_id", "virtual_time"), cfg)
             self._metric(rnd, "index", rows=self._rows_or_count(docs),
                          sec=time.time() - t0)
 
@@ -433,6 +426,53 @@ class CrawlRun:
 
         return {"fetchlist_rows": n_fl, "fetched_rows": n_fetched,
                 "crawldb_rows": n_db}
+
+    def _index_products(self, rnd: int, db: DataFrame, ldb: DataFrame,
+                        parse_text: DataFrame, parse_data: DataFrame,
+                        crawl_fetch: DataFrame, cfg) -> tuple:
+        """IndexingJob's two output streams for one round: the doc
+        emission (IndexerMapReduce.reduce → NutchDocument) and the
+        delete stream (delete rules ∪ CleaningJob's gone/duplicate
+        scan), installed atomically as ``indexes/docs`` and
+        ``indexes/deletes``. Shared by the in-round INDEXFLAG step and
+        the standalone :meth:`index_round` job."""
+        from .operators import readers
+        docs = readers.indexer_docs(db, ldb, parse_text, parse_data,
+                                    crawl_fetch, cfg)
+        docs = self._write(docs, "indexes/docs", rnd)
+        dels = readers.indexer_deletes(db, parse_data, crawl_fetch, cfg)
+        deletes = dels.unionByName(readers.cleaning_job(db)).distinct()
+        deletes = self._write(deletes, "indexes/deletes", rnd)
+        return docs, deletes
+
+    def index_round(self, rnd: int | None = None) -> dict:
+        """Standalone IndexingJob over an already-committed round
+        (JobType.INDEX, ``IndexingJob.java:96-180`` — the reference job
+        likewise takes crawldb + linkdb + segment dirs as inputs, so a
+        crawl run with ``index_enabled=False`` can be indexed after the
+        fact, or re-indexed after a config change). Reads round
+        ``rnd``'s committed snapshots and installs the docs/deletes
+        tables; defaults to the latest committed round."""
+        if rnd is None:
+            rnd = self.resume_round()
+        if rnd <= 0:
+            raise ValueError("no committed round to index")
+
+        def _seg(name: str) -> DataFrame:
+            path = self._path(name, rnd)
+            if not self._committed(path):
+                raise FileNotFoundError(
+                    f"round {rnd} has no committed {name}")
+            return self.spark.read.parquet(path)
+
+        docs, deletes = self._index_products(
+            rnd, self.load_crawldb(rnd), _seg("linkdb"),
+            _seg("segments/parse_text"), _seg("segments/parse_data"),
+            _seg("segments/crawl_fetch").drop("queue_id",
+                                              "virtual_time"),
+            self.cfg)
+        return {"round": rnd, "docs_rows": self._rows_or_count(docs),
+                "deletes_rows": self._rows_or_count(deletes)}
 
     def _clock_path(self) -> str:
         return os.path.join(self.out, "_crawl.json")

@@ -18,7 +18,10 @@ round is one declarative plan, so GENERATE/FETCH/PARSE/UPDATEDB/
 INVERTLINKS/DEDUP are not separately submittable jobs — the composite
 ``ROUND`` type runs them exactly as ``bin/crawl`` sequences the
 reference jobs, and requesting an individual stage type returns 501
-with that explanation. INDEX/CLASS are out of MVP (no live index).
+with that explanation. ``INDEX`` is submittable standalone (the
+reference's IndexingJob also runs post-hoc over committed crawldb +
+linkdb + segment dirs): it installs the docs/deletes tables for a
+committed round. CLASS is out of MVP (no plugin classloader).
 
 Spark shape: the HTTP layer is stdlib ``ThreadingHTTPServer``; every
 job runs on a daemon thread against the ONE shared SparkSession (the
@@ -157,7 +160,7 @@ class NutchService:
                 f"round is one declarative plan — submit type=ROUND "
                 f"(runs {'>'.join(s.lower() for s in ROUND_STAGES)} "
                 f"as bin/crawl sequences them)")
-        if jtype not in ("INJECT", "ROUND", "READDB"):
+        if jtype not in ("INJECT", "ROUND", "INDEX", "READDB"):
             raise NotImplementedError(f"unsupported job type: {jtype}")
         with self._lock:
             self._seq += 1
@@ -196,6 +199,14 @@ class NutchService:
                 stats = run.run_round(rnd, now + rnd * 24 * 3600 * 1000)
             return {"round": rnd, **{k: v for k, v in stats.items()
                                      if isinstance(v, (int, float))}}
+        if job.type == "INDEX":
+            # IndexingJob over an already-committed round
+            # (JobResource JobType.INDEX → IndexingJob.java:96-180);
+            # writes under the crawl dir, so it serializes with
+            # mutating jobs on the same crawl
+            with self._crawl_lock(job.crawl_id):
+                return run.index_round(
+                    int(args["round"]) if "round" in args else None)
         if job.type == "READDB":
             return self.db_query(job.crawl_id,
                                  args.get("type", "stats"), args)

@@ -151,3 +151,26 @@ def test_concurrent_rounds_serialize(server):
     i2 = _wait_job(port, j2["id"])
     assert i1["state"] == i2["state"] == "FINISHED", (i1, i2)
     assert {i1["result"]["round"], i2["result"]["round"]} == {2, 3}
+
+
+def test_standalone_index_job(server):
+    """JobType.INDEX runs post-hoc over the latest committed round
+    (IndexingJob.java takes crawldb + linkdb + segment dirs), even
+    though the crawl ran with index_enabled off."""
+    port, svc, _ = server
+    _, job = _req(port, "/job/create",
+                  {"crawlId": "c1", "type": "INDEX",
+                   "confId": "default"})
+    info = _wait_job(port, job["id"])
+    assert info["state"] == "FINISHED", info
+    res = info["result"]
+    assert res["round"] == svc.runs["c1"].resume_round()
+    assert res["docs_rows"] > 0
+    # the docs table landed under the crawl dir, committed
+    import os
+    run = svc.runs["c1"]
+    docs_path = run._path("indexes/docs", res["round"])
+    assert os.path.isfile(os.path.join(docs_path, "_snapshot.json"))
+    docs = run.spark.read.parquet(docs_path)
+    assert docs.count() == res["docs_rows"]
+    assert "url" in docs.columns
