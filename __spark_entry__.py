@@ -1415,6 +1415,22 @@ def q_nodedumper(spark, sf):
     return linkdb_op.node_dumper(wg["nodedb"], by="inlinks", n=20)
 
 
+def q_cuckoo_seen(spark, sf):
+    """Cuckoo URL-seen layer (north rule: "partitioned bloom/cuckoo
+    filters keyed by canonicalized-URL hash"; deletion sibling of the
+    bloom layer, Fan et al. CoNEXT'14): discovered outlink targets
+    not yet in the frontier, via cuckoo pre-prune + exact anti-join
+    (operators/cuckoo.py). The layer only prunes — the oracle's plain
+    anti-join is the exact same set."""
+    from nutch_spark.operators import cuckoo as ck
+    db = _crawldb(spark, sf)
+    discovered = _edges(spark, sf, dedup=False).select(
+        F.col("to_url").alias("url")).distinct()
+    layer = ck.build_cuckoo(db.select("url"), n_buckets=16)
+    return ck.filter_unseen(discovered, db.select("url"), layer) \
+        .select("url")
+
+
 def q_link_dumper(spark, sf):
     """LinkDumper (LinkDumper.java:216-330): webgraph inlinks with the
     source node's score attached, capped and sorted by from_url. The
@@ -1634,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     left 12 oracle-backed operators driver-unverified.)"""
     return {
         # -- never driver-checked before round 5 (r04 slots 51+) -----
+        "cuckoo_seen": q_cuckoo_seen,
         "similarity_score": q_similarity_score,
         "parse_reltags": q_parse_reltags,
         "index_replace": q_index_replace,
@@ -2967,6 +2984,11 @@ n AS (SELECT COALESCE(o.url, i.url) AS url,
 SELECT url, in_degree AS inlinks FROM n
 ORDER BY in_degree DESC, url ASC LIMIT 20""",
 
+        "cuckoo_seen": CRAWLDB_CTE + ", " + EDGE_SQL + """
+            SELECT DISTINCT e.to_url AS url
+            FROM edges e
+            WHERE e.to_url NOT IN (SELECT url FROM crawldb)
+        """,
         "link_dumper": CRAWLDB_CTE + ", " + EDGE_SQL + """,
 e AS (SELECT DISTINCT from_url, to_url FROM edges),
 s AS (SELECT e.from_url, e.to_url, COALESCE(c.score, 0.0) AS score

@@ -32,6 +32,7 @@ from .operators import inject as inject_op
 from .operators import linkdb as linkdb_op
 from .operators import parse as parse_op
 from .operators import updatedb as update_op
+from .operators import cuckoo as cuckoo_op
 from .operators import urlseen
 from . import schema as S
 
@@ -51,6 +52,7 @@ class CrawlRun:
                  cfg: CrawlConfig, pages: DataFrame,
                  robots: DataFrame, http_status: DataFrame | None = None,
                  use_bloom: bool = True, bloom_buckets: int = 64,
+                 seen_filter: str | None = None,
                  storage: str = "bucketed", db_buckets: int = 32,
                  linkrank_every: int = 1, linkrank_iterations: int = 10):
         """``storage``:
@@ -71,7 +73,15 @@ class CrawlRun:
         self.pages = pages
         self.robots = robots
         self.http_status = http_status
-        self.use_bloom = use_bloom
+        # URL-seen layer kind: "bloom" (default), "cuckoo" (same
+        # contract + deletion — north rule names both), or "none".
+        # `use_bloom` kept as the legacy on/off switch.
+        if seen_filter is None:
+            seen_filter = "bloom" if use_bloom else "none"
+        if seen_filter not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"seen_filter: {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self.use_bloom = seen_filter != "none"
         self.bloom_buckets = bloom_buckets
         # scoring_filter="link" only: run webgraph→linkrank→
         # scoreupdater every N rounds (0 disables)
@@ -234,20 +244,69 @@ class CrawlRun:
             return self.db_table.read(rnd)
         return self._install("crawldb", rnd)
 
+    @property
+    def _seen_dir(self) -> str:
+        # bloom keeps its historical dir name so pre-existing
+        # checkpoints resume; cuckoo layers live beside it
+        return ("urlseen_bloom" if self.seen_filter == "bloom"
+                else f"urlseen_{self.seen_filter}")
+
     def _load_bloom(self, rnd: int) -> DataFrame | None:
-        """Committed URL-seen bloom layer for round ``rnd`` (covers
-        that round's crawldb snapshot), or None."""
+        """Committed URL-seen layer (bloom or cuckoo table rows) for
+        round ``rnd`` (covers that round's crawldb snapshot), or
+        None."""
         if not self.use_bloom or rnd < 0:
             return None
-        path = self._path("urlseen_bloom", rnd)
+        path = self._path(self._seen_dir, rnd)
         if not self._committed(path):
             return None
         return self.spark.read.parquet(path)
 
     def _write_bloom(self, db: DataFrame, rnd: int) -> None:
-        bloom = urlseen.build_bloom(db.select("url"),
-                                    n_buckets=self.bloom_buckets)
-        self._write(bloom, "urlseen_bloom", rnd)
+        if self.seen_filter == "cuckoo":
+            layer = cuckoo_op.build_cuckoo(db.select("url"),
+                                           n_buckets=self.bloom_buckets)
+        else:
+            layer = urlseen.build_bloom(db.select("url"),
+                                        n_buckets=self.bloom_buckets)
+        self._write(layer, self._seen_dir, rnd)
+
+    def _split_seen(self, linked: DataFrame,
+                    layer: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(definitely_new, maybe_seen) via the active seen layer."""
+        if self.seen_filter == "cuckoo":
+            return cuckoo_op.split_seen(linked, layer)
+        return urlseen.split_seen(linked, layer)
+
+    def purge_gone(self, rnd: int) -> dict:
+        """Frontier purge (the CleaningJob deletion semantic,
+        ``CleaningJob.java:97-117``, applied to the crawldb itself):
+        drop ``db_gone`` urls from round ``rnd``'s committed snapshot
+        and commit the result as round ``rnd + 1``. With the cuckoo
+        seen layer the purged urls are DELETED from the layer
+        (one fingerprint each) instead of rebuilding it over the
+        10^10-url frontier — the operation a bloom cannot express;
+        the bloom path rebuilds."""
+        db = self.load_crawldb(rnd)
+        gone = db.where(F.col("status") == S.DB_GONE).select("url")
+        kept = db.where(F.col("status") != S.DB_GONE)
+        nxt = rnd + 1
+        n_gone = gone.count()
+        staged = self._stage_crawldb(kept, nxt)
+        n_db = self._rows_or_count(staged)
+        if self.seen_filter == "cuckoo":
+            layer = self._load_bloom(rnd)
+            if layer is not None:
+                layer = cuckoo_op.cuckoo_delete(layer, gone)
+                self._write(layer, self._seen_dir, nxt)
+            else:
+                self._write_bloom(staged, nxt)
+        elif self.use_bloom:
+            self._write_bloom(staged, nxt)
+        self._commit_crawldb(nxt)
+        self._metric(nxt, "purge", rows=n_db)
+        return {"round": nxt, "crawldb_rows": n_db,
+                "purged_rows": n_gone}
 
     # --- stages --------------------------------------------------------
     def inject(self, seeds: DataFrame, now_ms: int) -> DataFrame:
@@ -333,7 +392,7 @@ class CrawlRun:
         if can_split:
             linked = messages.where(F.col("status") == S.STATUS_LINKED)
             others = messages.where(F.col("status") != S.STATUS_LINKED)
-            new_rows, maybe = urlseen.split_seen(linked, bloom)
+            new_rows, maybe = self._split_seen(linked, bloom)
             self.debug_split = {"new": new_rows, "maybe": maybe}
             merged = update_op.updatedb(db, others.unionByName(maybe),
                                         cfg, now_ms)
