@@ -101,8 +101,16 @@ def _fp_i1_i2(h64: np.ndarray, m: int):
     return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
 
 
-def _stash_key(i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
-    return (i1.astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+def _stash_key(i1: np.ndarray, i2: np.ndarray,
+               fp: np.ndarray) -> np.ndarray:
+    """Canonical stash identity (min bucket, fp): a fingerprint's two
+    candidate buckets are mutually derivable (i2 = i1 XOR g(fp)), so
+    keying the stash on the SMALLER bucket keeps stash entries
+    interchangeable between twins exactly like table slots are — a
+    delete that consumes one copy can never strand the survivor
+    behind a key its twin doesn't probe."""
+    lo = np.minimum(i1, i2).astype(np.uint64)
+    return (lo << np.uint64(16)) | fp.astype(np.uint64)
 
 
 def _build_table(h: np.ndarray, m: int):
@@ -130,7 +138,8 @@ def _build_table(h: np.ndarray, m: int):
         table[st[fits], slot[fits]] = fp[win]
         np.add.at(used, st[fits], 1)
         pend = pend[order[~fits]]
-    stash = np.sort(_stash_key(i1[pend], fp[pend])) if len(pend) \
+    stash = np.sort(_stash_key(i1[pend], i2[pend], fp[pend])) \
+        if len(pend) \
         else np.empty(0, dtype=np.uint64)
     return table, stash
 
@@ -177,7 +186,7 @@ def _member(table, stash, m, h: np.ndarray) -> np.ndarray:
     hit = ((table[i1] == fp[:, None]).any(axis=1)
            | (table[i2] == fp[:, None]).any(axis=1))
     if len(stash):
-        hit |= np.isin(_stash_key(i1, fp), stash)
+        hit |= np.isin(_stash_key(i1, i2, fp), stash)
     return hit
 
 
@@ -208,6 +217,50 @@ def cuckoo_maybe_seen(discovered: DataFrame, cuckoo: DataFrame,
             .applyInPandas(test, out_schema))
 
 
+def _delete_from(table: np.ndarray, stash: np.ndarray, m: int,
+                 h: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Delete one stored fingerprint per item of ``h`` from a single
+    table: first matching i1 slot, else i2 slot, else stash key.
+    Returns (table, stash, n_deleted); ``table`` is modified in
+    place (callers pass a copy)."""
+    fp, i1, i2 = _fp_i1_i2(h, m)
+
+    def clear_first(rows: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Clear the first slot == fp in each row; True where this
+        item's clear actually landed. When several items pick the
+        exact same (row, slot) — necessarily the same fingerprint —
+        only the first is satisfied; the others report False and
+        fall through to i2/stash."""
+        eq = table[rows] == fps[:, None]
+        has = eq.any(axis=1)
+        slot = eq.argmax(axis=1)
+        flat = rows[has] * SLOTS + slot[has]
+        _, first_idx = np.unique(flat, return_index=True)
+        landed = np.zeros(len(flat), dtype=bool)
+        landed[first_idx] = True
+        table.ravel()[flat[landed]] = 0
+        out = np.zeros(len(rows), dtype=bool)
+        out[np.flatnonzero(has)[landed]] = True
+        return out
+
+    done = clear_first(i1, fp)
+    # i1 row had no match (or lost the duplicate-collapse): try i2
+    redo = ~done
+    if redo.any():
+        done[redo] = clear_first(i2[redo], fp[redo])
+    rest = ~done
+    if rest.any() and len(stash):
+        keys = _stash_key(i1[rest], i2[rest], fp[rest])
+        pos = np.searchsorted(stash, keys)
+        ok = (pos < len(stash)) & (stash[np.minimum(
+            pos, len(stash) - 1)] == keys)
+        # delete one stash occurrence per matched key
+        done[np.flatnonzero(rest)[ok]] = True
+        stash = np.delete(stash, np.unique(pos[ok]))
+    return table, stash, int(done.sum())
+
+
 def cuckoo_delete(cuckoo: DataFrame, urls: DataFrame,
                   url_col: str = "url") -> DataFrame:
     """Remove one stored fingerprint per DISTINCT url of ``urls`` from
@@ -235,47 +288,12 @@ def cuckoo_delete(cuckoo: DataFrame, urls: DataFrame,
         if left.empty:
             return right[[c.name for c in CUCKOO_SCHEMA]]
         table, stash, m = _load_np(right)
-        table = table.copy()
         h = left["_h64"].to_numpy(dtype=np.int64)
-        fp, i1, i2 = _fp_i1_i2(h, m)
-
-        def clear_first(rows: np.ndarray, fps: np.ndarray) -> np.ndarray:
-            """Clear the first slot == fp in each row; True where this
-            item's clear actually landed. When several items pick the
-            exact same (row, slot) — necessarily the same fingerprint —
-            only the first is satisfied; the others report False and
-            fall through to i2/stash."""
-            eq = table[rows] == fps[:, None]
-            has = eq.any(axis=1)
-            slot = eq.argmax(axis=1)
-            flat = rows[has] * SLOTS + slot[has]
-            _, first_idx = np.unique(flat, return_index=True)
-            landed = np.zeros(len(flat), dtype=bool)
-            landed[first_idx] = True
-            table.ravel()[flat[landed]] = 0
-            out = np.zeros(len(rows), dtype=bool)
-            out[np.flatnonzero(has)[landed]] = True
-            return out
-
-        done = clear_first(i1, fp)
-        # i1 row had no match (or lost the duplicate-collapse): try i2
-        redo = ~done
-        if redo.any():
-            done[redo] = clear_first(i2[redo], fp[redo])
-        rest = ~done
-        if rest.any() and len(stash):
-            keys = _stash_key(i1[rest], fp[rest])
-            pos = np.searchsorted(stash, keys)
-            ok = (pos < len(stash)) & (stash[np.minimum(
-                pos, len(stash) - 1)] == keys)
-            # delete one stash occurrence per matched key
-            kill = np.unique(pos[ok])
-            stash = np.delete(stash, kill)
+        table, stash, n_del = _delete_from(table.copy(), stash, m, h)
         out = right.copy()
         out["table"] = [table.tobytes()]
         out["stash"] = [stash.tobytes()]
-        out["n_items"] = [max(0, int(right["n_items"].iloc[0])
-                          - int(done.sum()))]
+        out["n_items"] = [max(0, int(right["n_items"].iloc[0]) - n_del)]
         return out[[c.name for c in CUCKOO_SCHEMA]]
 
     return (hashed.groupBy("_bucket")

@@ -125,3 +125,77 @@ def test_parity_with_bloom_layer(spark):
     via_cuckoo = sorted(r.url for r in ck.filter_unseen(
         disc, frontier, c).collect())
     assert via_bloom == via_cuckoo
+
+
+# --- numpy-level property tests (no Spark session needed) ------------
+
+from hypothesis import given, settings, strategies as st
+
+settings.register_profile("fast_ck", max_examples=40, deadline=None)
+settings.load_profile("fast_ck")
+
+_hashes = st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                   min_size=1, max_size=400, unique=True)
+
+
+@given(_hashes, st.sampled_from([64, 128, 256]))
+def test_prop_build_is_lossless(hs, m):
+    """Every inserted hash is a member, at any load (stash catches
+    what two-choice placement cannot seat)."""
+    h = np.array(hs, dtype=np.int64)
+    table, stash = ck._build_table(h, m)
+    assert bool(ck._member(table, stash, m, h).all())
+    # conservation: every item sits in exactly one slot or the stash
+    assert int((table != 0).sum()) + len(stash) == len(h)
+
+
+@given(_hashes)
+def test_prop_delete_all_empties_the_table(hs):
+    """Deleting every inserted item through the real delete kernel
+    (the one cuckoo_delete runs per bucket) leaves a table that
+    rejects them all — for (i1, fingerprint)-collision-free inputs,
+    which is the filter's distinguishability limit by design."""
+    h = np.array(hs, dtype=np.int64)
+    m = 256
+    fp, i1, i2 = ck._fp_i1_i2(h, m)
+    _, first = np.unique(ck._stash_key(i1, i2, fp), return_index=True)
+    h = h[np.sort(first)]          # drop indistinguishable twins
+    table, stash = ck._build_table(h, m)
+    t2, s2, n_del = ck._delete_from(table.copy(), stash, m, h)
+    assert n_del == len(h)
+    assert not ck._member(t2, s2, m, h).any()
+
+
+@given(_hashes, _hashes)
+def test_prop_delete_never_touches_disjoint_members(hs, other):
+    """Deleting set A leaves the membership verdict of a disjoint,
+    fingerprint-distinct set B untouched (no slot corruption)."""
+    h = np.array(hs, dtype=np.int64)
+    m = 256
+    ha = np.array(sorted(set(hs) - set(other)), dtype=np.int64)
+    hb = np.array(sorted(set(other) - set(hs)), dtype=np.int64)
+    if not len(ha) or not len(hb):
+        return
+    allh = np.concatenate([ha, hb])
+    fp, i1, i2 = ck._fp_i1_i2(allh, m)
+    keys = ck._stash_key(i1, i2, fp)
+    # keep only items whose (i1, fp) key is globally unique — twins
+    # are indistinguishable to the filter by design
+    u, counts = np.unique(keys, return_counts=True)
+    ok = np.isin(keys, u[counts == 1])
+    surv = allh[ok]
+    in_a = np.isin(surv, ha)
+    ha, hb = surv[in_a], surv[~in_a]
+    if not len(ha) or not len(hb):
+        return
+    table, stash = ck._build_table(np.concatenate([ha, hb]), m)
+    t2, s2, n_del = ck._delete_from(table.copy(), stash, m, ha)
+    # every ha was a member, so every delete landed somewhere
+    assert n_del == len(ha)
+    # B stays fully member — even when a delete cleared B's copy of a
+    # shared fingerprint, the partial-key property (i2 = i1 XOR g(fp))
+    # guarantees the surviving copy sits in one of B's two buckets.
+    # (ha items may still false-positive against residents; that is
+    # the filter's ~2*SLOTS/2^f contract, not corruption — the
+    # nothing-left case is test_prop_delete_all_empties_the_table.)
+    assert bool(ck._member(t2, s2, m, hb).all())
