@@ -1706,8 +1706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_checker": q_filter_checker,
         "normalizer_checker": q_normalizer_checker,
         "indexer_filters": q_indexer_filters,
+        # ==== driver slot 50 boundary: indexer_filters is slot 49
+        # (0-indexed; cuckoo_seen's slot-0 insert pushed indexer_geoip
+        # out — it holds an r04 green row) ============================
         "indexer_geoip": q_indexer_geoip,
-        # ==== driver slot 50 boundary: indexer_geoip is slot 49 ======
         # -- multi-round-stable greens (r03+r04), rotated out ---------
         "warc_ingest": q_warc_ingest,
         "fetch_politeness": q_fetch_politeness,
