@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     # round 5: remaining tika document paths (OO/RTF/Word-97 codecs,
     # header-only image metadata)
     "parse_oo", "parse_rtf", "parse_msword", "image_meta",
+    # round 5: cuckoo URL-seen layer (build + membership + exact join)
+    "cuckoo_seen",
 ]
 
 
