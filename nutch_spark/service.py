@@ -160,7 +160,8 @@ class NutchService:
                 f"round is one declarative plan — submit type=ROUND "
                 f"(runs {'>'.join(s.lower() for s in ROUND_STAGES)} "
                 f"as bin/crawl sequences them)")
-        if jtype not in ("INJECT", "ROUND", "INDEX", "READDB"):
+        if jtype not in ("INJECT", "ROUND", "INDEX", "READDB",
+                         "PURGE"):
             raise NotImplementedError(f"unsupported job type: {jtype}")
         with self._lock:
             self._seq += 1
@@ -210,6 +211,14 @@ class NutchService:
         if job.type == "READDB":
             return self.db_query(job.crawl_id,
                                  args.get("type", "stats"), args)
+        if job.type == "PURGE":
+            # frontier purge of db_gone urls (CleaningJob deletion
+            # semantic applied to the crawldb; with a cuckoo seen
+            # layer the purged fingerprints are deleted in place) —
+            # commits the next snapshot, so it serializes with the
+            # crawl's mutating jobs
+            with self._crawl_lock(job.crawl_id):
+                return run.purge_gone(run.resume_round())
         raise NotImplementedError(job.type)
 
     def job_list(self, crawl_id: str | None = None) -> list[dict]:

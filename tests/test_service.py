@@ -174,3 +174,23 @@ def test_standalone_index_job(server):
     docs = run.spark.read.parquet(docs_path)
     assert docs.count() == res["docs_rows"]
     assert "url" in docs.columns
+
+
+def test_purge_job(server):
+    """JobType.PURGE drops db_gone urls from the frontier and commits
+    the next snapshot (the CLI `purge` command over REST)."""
+    port, svc, _ = server
+    run = svc.runs["c1"]
+    before_rnd = run.resume_round()
+    db = run.load_crawldb(before_rnd)
+    n_gone = db.where("status = 'db_gone'").count()
+    _, job = _req(port, "/job/create",
+                  {"crawlId": "c1", "type": "PURGE",
+                   "confId": "default"})
+    info = _wait_job(port, job["id"])
+    assert info["state"] == "FINISHED", info
+    res = info["result"]
+    assert res["round"] == before_rnd + 1
+    assert res["purged_rows"] == n_gone
+    after = run.load_crawldb(res["round"])
+    assert after.where("status = 'db_gone'").count() == 0
