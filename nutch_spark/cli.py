@@ -12,6 +12,8 @@ Commands mirror the reference CLI dispatch (src/bin/nutch:211-282):
   readlinkdb    out_dir --url U | --dump d      (LinkDbReader)
   readseg       out_dir --get URL [--round N]   (SegmentReader)
   mergesegs     out_dir dest --rounds a,b,...   (SegmentMerger)
+  invertlinks   out_dir dest [--round N]        (LinkDb)
+  mergelinkdb   dest linkdb [linkdb ...]        (LinkDbMerger)
   dedup         out_dir                         (DeduplicationJob)
   index         out_dir [--round N]             (IndexingJob)
   clean         out_dir                         (CleaningJob)
@@ -34,7 +36,9 @@ submittable, matching the service layer (service.py ROUND_STAGES):
 the round is one declarative Spark plan — run ``crawl --rounds 1``.
 Catalyst pipelines the four stages with no intermediate barriers;
 splitting them back into four jobs would only materialize segment
-state between stages the optimizer otherwise fuses.
+state between stages the optimizer otherwise fuses. ``invertlinks``
+IS standalone (the reference job re-inverts arbitrary committed
+segments), as are all the reader/merger/indexer jobs.
 
 The pages/robots/http_status tables come from ``--pages-dir`` (parquet
 dirs named pages/, robots/, http_status/) or, with ``--fixture``, from
@@ -49,7 +53,7 @@ import os
 import sys
 import time
 
-ROUND_STAGES = ("generate", "fetch", "parse", "updatedb", "invertlinks")
+ROUND_STAGES = ("generate", "fetch", "parse", "updatedb")
 
 
 def _spark(args):
@@ -303,6 +307,42 @@ def cmd_mergesegs(args):
     out.write.mode("overwrite").parquet(args.dest)
     _emit({"urls": spark.read.parquet(args.dest).count(),
            "rounds": rounds})
+
+
+def cmd_invertlinks(args):
+    """LinkDb (crawl/LinkDb.java): standalone link inversion over a
+    committed round's parse_data — the round driver also does this
+    inline, but the reference job re-runs it over arbitrary segments
+    (e.g. after changing ignore-internal settings)."""
+    from .config import CrawlConfig
+    from .operators import linkdb as linkdb_op, parse as parse_op
+    spark = _spark(args)
+    rounds = [args.round] if args.round is not None else \
+        _rounds_of(args.out_dir, "segments/parse_data")
+    edges = None
+    for r in rounds:
+        pd_ = _load_seg(spark, args.out_dir, "segments/parse_data", r)
+        if pd_ is None:
+            continue
+        e = parse_op.outlink_edges(pd_)
+        edges = e if edges is None else edges.unionByName(e)
+    if edges is None:
+        raise SystemExit(f"no parse_data under {args.out_dir}")
+    ldb = linkdb_op.invert_links(edges, CrawlConfig())
+    ldb.write.mode("overwrite").parquet(args.dest)
+    _emit({"urls": spark.read.parquet(args.dest).count(),
+           "rounds": rounds})
+
+
+def cmd_mergelinkdb(args):
+    """LinkDbMerger: inlink-set union across linkdbs, cap re-applied."""
+    from .config import CrawlConfig
+    from .operators import linkdb as linkdb_op
+    spark = _spark(args)
+    dbs = [spark.read.parquet(d) for d in args.dbs]
+    out = linkdb_op.merge_linkdbs(dbs, CrawlConfig())
+    out.write.mode("overwrite").parquet(args.dest)
+    _emit({"urls": spark.read.parquet(args.dest).count()})
 
 
 # --- index / dumps -------------------------------------------------------
@@ -560,6 +600,15 @@ def main(argv=None):
     ms = add("mergesegs", cmd_mergesegs)
     ms.add_argument("dest")
     ms.add_argument("--rounds")
+
+    il = add("invertlinks", cmd_invertlinks)
+    il.add_argument("dest")
+    il.add_argument("--round", type=int)
+
+    ml = sub.add_parser("mergelinkdb")
+    ml.add_argument("dest")
+    ml.add_argument("dbs", nargs="+")
+    ml.set_defaults(fn=cmd_mergelinkdb)
 
     ix = add("index", cmd_index, tables=True)
     ix.add_argument("--round", type=int)

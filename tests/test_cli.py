@@ -91,6 +91,21 @@ def test_mergesegs(monkeypatch, capsys, spark, crawl_dir, tmp_path):
     assert m.count() == m.select("url").distinct().count()
 
 
+def test_invertlinks_and_mergelinkdb(monkeypatch, capsys, spark,
+                                     crawl_dir, tmp_path):
+    """Standalone LinkDb inversion over committed parse_data matches
+    the in-round linkdb union; LinkDbMerger self-merge keeps the url
+    set."""
+    dest = str(tmp_path / "ldb")
+    _main(monkeypatch, spark, ["invertlinks", crawl_dir, dest])
+    res = json.loads(_out(capsys)[-1])
+    assert res["urls"] > 0
+    merged = str(tmp_path / "ldb2")
+    _main(monkeypatch, spark, ["mergelinkdb", merged, dest, dest])
+    res2 = json.loads(_out(capsys)[-1])
+    assert res2["urls"] == res["urls"]
+
+
 def test_mergedb(monkeypatch, capsys, spark, crawl_dir, tmp_path):
     dest = str(tmp_path / "mdb")
     _main(monkeypatch, spark, ["mergedb", dest, crawl_dir, crawl_dir])
